@@ -1,0 +1,343 @@
+"""Checkpoint conversion: PyTorch state_dicts -> audioldm2_tpu param pytrees.
+
+The reference ships seven monolithic ``.pth`` checkpoints whose flat
+``state_dict`` covers LDM + UNet + VAE + vocoder + all conditioners
+(reference ``pipeline.py:172-174``). This module holds the key-mapping
+tables that reshape those tensors into this framework's channels-last
+layouts:
+
+* Conv2d ``[O, I, kh, kw]`` -> HWIO ``[kh, kw, I, O]``
+* Conv1d ``[O, I, k]``      -> ``[k, I, O]``
+* ConvTranspose1d ``[I, O, k]`` -> ``[k, O, I]`` (kernel-first HOI)
+* Linear ``[O, I]``         -> ``[I, O]``
+* Norm weight/bias          -> scale/bias
+
+All functions take a dict of numpy arrays (call :func:`state_dict_to_numpy`
+on a loaded torch checkpoint first) so that torch is only required at
+conversion time, never at inference time.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from audioldm2_tpu.config import ModelConfig, UNetConfig, VAEConfig, VocoderConfig
+
+
+def state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Primitive converters
+# ---------------------------------------------------------------------------
+
+
+def conv2d_p(sd, prefix):
+    return {
+        "w": sd[prefix + ".weight"].transpose(2, 3, 1, 0),
+        "b": sd[prefix + ".bias"],
+    }
+
+
+def conv1d_p(sd, prefix):
+    return {
+        "w": sd[prefix + ".weight"].transpose(2, 1, 0),
+        "b": sd[prefix + ".bias"],
+    }
+
+
+def conv_transpose1d_p(sd, prefix):
+    # torch [I, O, k] -> [k, O, I]
+    return {
+        "w": sd[prefix + ".weight"].transpose(2, 1, 0),
+        "b": sd[prefix + ".bias"],
+    }
+
+
+def linear_p(sd, prefix, bias=True):
+    p = {"w": sd[prefix + ".weight"].transpose(1, 0)}
+    if bias:
+        p["b"] = sd[prefix + ".bias"]
+    return p
+
+
+def norm_p(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def fold_weight_norm(sd, prefix):
+    """HiFi-GAN convs are stored as weight_g/weight_v; the reference folds
+    them at load via remove_weight_norm (utilities/model.py:140-152).
+    w = g * v / ||v|| with the norm over all dims except dim 0."""
+    key_w = prefix + ".weight"
+    if key_w in sd:
+        return sd[key_w]
+    g = sd[prefix + ".weight_g"]
+    v = sd[prefix + ".weight_v"]
+    norm = np.sqrt((v.reshape(v.shape[0], -1) ** 2).sum(axis=1))
+    shape = (-1,) + (1,) * (v.ndim - 1)
+    return g.reshape(shape) * v / norm.reshape(shape)
+
+
+def wn_conv1d_p(sd, prefix):
+    w = fold_weight_norm(sd, prefix)  # [O, I, k]
+    return {"w": w.transpose(2, 1, 0), "b": sd[prefix + ".bias"]}
+
+
+def wn_conv_transpose1d_p(sd, prefix):
+    w = fold_weight_norm(sd, prefix)  # [I, O, k]
+    return {"w": w.transpose(2, 1, 0), "b": sd[prefix + ".bias"]}
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+
+def _resblock_p(sd, prefix):
+    p = {
+        "norm1": norm_p(sd, prefix + ".norm1"),
+        "conv1": conv2d_p(sd, prefix + ".conv1"),
+        "norm2": norm_p(sd, prefix + ".norm2"),
+        "conv2": conv2d_p(sd, prefix + ".conv2"),
+    }
+    if prefix + ".nin_shortcut.weight" in sd:
+        p["nin_shortcut"] = conv2d_p(sd, prefix + ".nin_shortcut")
+    return p
+
+
+def _attnblock_p(sd, prefix):
+    return {
+        "norm": norm_p(sd, prefix + ".norm"),
+        "q": conv2d_p(sd, prefix + ".q"),
+        "k": conv2d_p(sd, prefix + ".k"),
+        "v": conv2d_p(sd, prefix + ".v"),
+        "proj_out": conv2d_p(sd, prefix + ".proj_out"),
+    }
+
+
+def convert_vae(sd: Dict[str, np.ndarray], cfg: VAEConfig, prefix: str = "") -> dict:
+    """Map reference AutoencoderKL keys (autoencoder.py:18-66) to
+    :mod:`audioldm2_tpu.models.vae` params. ``prefix`` is e.g.
+    ``first_stage_model.`` inside the monolithic checkpoint."""
+    n_levels = len(cfg.ch_mult)
+
+    enc = {"conv_in": conv2d_p(sd, prefix + "encoder.conv_in")}
+    down = []
+    for i in range(n_levels):
+        level = {
+            "block": [
+                _resblock_p(sd, f"{prefix}encoder.down.{i}.block.{j}")
+                for j in range(cfg.num_res_blocks)
+            ]
+        }
+        ds_key = f"{prefix}encoder.down.{i}.downsample.conv"
+        if ds_key + ".weight" in sd:
+            level["downsample"] = conv2d_p(sd, ds_key)
+        down.append(level)
+    enc["down"] = down
+    enc["mid"] = {
+        "block_1": _resblock_p(sd, prefix + "encoder.mid.block_1"),
+        "attn_1": _attnblock_p(sd, prefix + "encoder.mid.attn_1"),
+        "block_2": _resblock_p(sd, prefix + "encoder.mid.block_2"),
+    }
+    enc["norm_out"] = norm_p(sd, prefix + "encoder.norm_out")
+    enc["conv_out"] = conv2d_p(sd, prefix + "encoder.conv_out")
+
+    dec = {"conv_in": conv2d_p(sd, prefix + "decoder.conv_in")}
+    dec["mid"] = {
+        "block_1": _resblock_p(sd, prefix + "decoder.mid.block_1"),
+        "attn_1": _attnblock_p(sd, prefix + "decoder.mid.attn_1"),
+        "block_2": _resblock_p(sd, prefix + "decoder.mid.block_2"),
+    }
+    up = []
+    for i in range(n_levels):
+        level = {
+            "block": [
+                _resblock_p(sd, f"{prefix}decoder.up.{i}.block.{j}")
+                for j in range(cfg.num_res_blocks + 1)
+            ]
+        }
+        us_key = f"{prefix}decoder.up.{i}.upsample.conv"
+        if us_key + ".weight" in sd:
+            level["upsample"] = conv2d_p(sd, us_key)
+        up.append(level)
+    dec["up"] = up
+    dec["norm_out"] = norm_p(sd, prefix + "decoder.norm_out")
+    dec["conv_out"] = conv2d_p(sd, prefix + "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": conv2d_p(sd, prefix + "quant_conv"),
+        "post_quant_conv": conv2d_p(sd, prefix + "post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN vocoder
+# ---------------------------------------------------------------------------
+
+
+def convert_vocoder(sd: Dict[str, np.ndarray], cfg: VocoderConfig, prefix: str = "") -> dict:
+    """Map reference HiFi-GAN Generator keys (hifigan/models.py:112-174),
+    folding weight norm. Checkpoint prefix is
+    ``first_stage_model.vocoder.``."""
+    p = {"conv_pre": wn_conv1d_p(sd, prefix + "conv_pre")}
+    ups, resblocks = [], []
+    for i in range(len(cfg.upsample_rates)):
+        ups.append(wn_conv_transpose1d_p(sd, f"{prefix}ups.{i}"))
+        for j in range(len(cfg.resblock_kernel_sizes)):
+            idx = i * len(cfg.resblock_kernel_sizes) + j
+            rb = {
+                "convs1": [
+                    wn_conv1d_p(sd, f"{prefix}resblocks.{idx}.convs1.{m}")
+                    for m in range(3)
+                ],
+                "convs2": [
+                    wn_conv1d_p(sd, f"{prefix}resblocks.{idx}.convs2.{m}")
+                    for m in range(3)
+                ],
+            }
+            resblocks.append(rb)
+    p["ups"] = ups
+    p["resblocks"] = resblocks
+    p["conv_post"] = wn_conv1d_p(sd, prefix + "conv_post")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+
+def _st_block_p(sd, prefix, has_context):
+    """BasicTransformerBlock (reference attention.py:370-410)."""
+    return {
+        "norm1": norm_p(sd, prefix + ".norm1"),
+        "attn1": {
+            "to_q": linear_p(sd, prefix + ".attn1.to_q", bias=False),
+            "to_k": linear_p(sd, prefix + ".attn1.to_k", bias=False),
+            "to_v": linear_p(sd, prefix + ".attn1.to_v", bias=False),
+            "to_out": linear_p(sd, prefix + ".attn1.to_out.0"),
+        },
+        "norm2": norm_p(sd, prefix + ".norm2"),
+        "attn2": {
+            "to_q": linear_p(sd, prefix + ".attn2.to_q", bias=False),
+            "to_k": linear_p(sd, prefix + ".attn2.to_k", bias=False),
+            "to_v": linear_p(sd, prefix + ".attn2.to_v", bias=False),
+            "to_out": linear_p(sd, prefix + ".attn2.to_out.0"),
+        },
+        "norm3": norm_p(sd, prefix + ".norm3"),
+        "ff": {
+            "proj_in": linear_p(sd, prefix + ".ff.net.0.proj"),
+            "proj_out": linear_p(sd, prefix + ".ff.net.2"),
+        },
+    }
+
+
+def _spatial_transformer_p(sd, prefix, depth, has_context):
+    return {
+        "norm": norm_p(sd, prefix + ".norm"),
+        "proj_in": conv2d_p(sd, prefix + ".proj_in"),
+        "blocks": [
+            _st_block_p(sd, f"{prefix}.transformer_blocks.{d}", has_context)
+            for d in range(depth)
+        ],
+        "proj_out": conv2d_p(sd, prefix + ".proj_out"),
+    }
+
+
+def _unet_resblock_p(sd, prefix):
+    p = {
+        "in_norm": norm_p(sd, prefix + ".in_layers.0"),
+        "in_conv": conv2d_p(sd, prefix + ".in_layers.2"),
+        "emb": linear_p(sd, prefix + ".emb_layers.1"),
+        "out_norm": norm_p(sd, prefix + ".out_layers.0"),
+        "out_conv": conv2d_p(sd, prefix + ".out_layers.3"),
+    }
+    if prefix + ".skip_connection.weight" in sd:
+        p["skip"] = conv2d_p(sd, prefix + ".skip_connection")
+    return p
+
+
+def convert_unet(sd: Dict[str, np.ndarray], cfg: UNetConfig, prefix: str = "model.diffusion_model.") -> dict:
+    """Map reference UNetModel keys (openaimodel.py:476-819).
+
+    Walks the same construction order as the reference so that layer indices
+    inside each TimestepEmbedSequential line up: [ResBlock, (self-ST,
+    cross-ST xN)?, (Down/Upsample)?]."""
+    p = {
+        "time_embed": {
+            "lin1": linear_p(sd, prefix + "time_embed.0"),
+            "lin2": linear_p(sd, prefix + "time_embed.2"),
+        }
+    }
+    if cfg.extra_film_condition_dim is not None:
+        p["film_emb"] = linear_p(sd, prefix + "film_emb")
+
+    n_ctx = len(cfg.context_dims)
+    depth = cfg.transformer_depth
+
+    def sts_at(block_prefix, start_idx):
+        """Self-ST + one cross-ST per context at consecutive layer indices."""
+        out = {"self_st": _spatial_transformer_p(sd, f"{block_prefix}.{start_idx}", depth, False)}
+        out["cross_sts"] = [
+            _spatial_transformer_p(sd, f"{block_prefix}.{start_idx + 1 + i}", depth, cfg.context_dims[i] is not None)
+            for i in range(n_ctx)
+        ]
+        return out
+
+    # input blocks
+    input_blocks = [{"conv": conv2d_p(sd, prefix + "input_blocks.0.0")}]
+    idx = 1
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            bp = f"{prefix}input_blocks.{idx}"
+            blk = {"res": _unet_resblock_p(sd, bp + ".0")}
+            if ds in cfg.attention_resolutions:
+                blk.update(sts_at(bp, 1))
+            input_blocks.append(blk)
+            idx += 1
+        if level != len(cfg.channel_mult) - 1:
+            input_blocks.append(
+                {"downsample": conv2d_p(sd, f"{prefix}input_blocks.{idx}.0.op")}
+            )
+            idx += 1
+            ds *= 2
+    p["input_blocks"] = input_blocks
+
+    # middle: ResBlock, self-ST, cross-STs, ResBlock
+    mid = {"res1": _unet_resblock_p(sd, prefix + "middle_block.0")}
+    mid.update(sts_at(prefix + "middle_block", 1))
+    mid["res2"] = _unet_resblock_p(sd, f"{prefix}middle_block.{2 + n_ctx}")
+    p["middle_block"] = mid
+
+    # output blocks
+    output_blocks = []
+    idx = 0
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            bp = f"{prefix}output_blocks.{idx}"
+            blk = {"res": _unet_resblock_p(sd, bp + ".0")}
+            layer = 1
+            if ds in cfg.attention_resolutions:
+                blk.update(sts_at(bp, 1))
+                layer += 1 + n_ctx
+            if level and i == cfg.num_res_blocks:
+                blk["upsample"] = conv2d_p(sd, f"{bp}.{layer}.conv")
+                ds //= 2
+            output_blocks.append(blk)
+            idx += 1
+    p["output_blocks"] = output_blocks
+
+    p["out_norm"] = norm_p(sd, prefix + "out.0")
+    p["out_conv"] = conv2d_p(sd, prefix + "out.2")
+    return p

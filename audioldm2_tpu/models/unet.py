@@ -1,0 +1,266 @@
+"""Latent-score UNet with per-block transformer ladders — functional JAX.
+
+Re-design of the reference UNetModel (reference
+``latent_diffusion/modules/diffusionmodules/openaimodel.py:476-885`` and
+``modules/attention.py``): channels-last activations [B, T, F, C], a
+context-free self-attention SpatialTransformer first at every attention
+level (``extra_sa_layer``), then one cross-attention SpatialTransformer per
+context slot (slot order = conditioner order), optional FiLM conditioning
+concatenated with the time embedding (doubling embedding width).
+
+The whole forward is a single jitted program; classifier-free guidance is
+run by the sampler as one batched call (uncond/cond stacked on batch), not
+two sequential calls like the reference DDIM (ddim.py:293-299).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from audioldm2_tpu.config import UNetConfig
+from audioldm2_tpu.ops import nn
+
+GN_EPS_RES = 1e-5  # reference GroupNorm32 (torch default eps)
+GN_EPS_ST = 1e-6  # reference attention.py Normalize
+LN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _resblock_init(key, cin, cout, emb_dim):
+    ks = jax.random.split(key, 4)
+    p = {
+        "in_norm": nn.norm_init(cin),
+        "in_conv": nn.conv_init(ks[0], 3, 3, cin, cout),
+        "emb": nn.linear_init(ks[1], emb_dim, cout),
+        "out_norm": nn.norm_init(cout),
+        "out_conv": nn.conv_init(ks[2], 3, 3, cout, cout, zero=True),
+    }
+    if cin != cout:
+        p["skip"] = nn.conv_init(ks[3], 1, 1, cin, cout)
+    return p
+
+
+def _attn_init(key, query_dim, context_dim, inner_dim):
+    ks = jax.random.split(key, 4)
+    ctx = context_dim if context_dim is not None else query_dim
+    return {
+        "to_q": nn.linear_init(ks[0], query_dim, inner_dim, bias=False),
+        "to_k": nn.linear_init(ks[1], ctx, inner_dim, bias=False),
+        "to_v": nn.linear_init(ks[2], ctx, inner_dim, bias=False),
+        "to_out": nn.linear_init(ks[3], inner_dim, query_dim),
+    }
+
+
+def _st_block_init(key, dim, context_dim):
+    ks = jax.random.split(key, 4)
+    inner_ff = dim * 4
+    return {
+        "norm1": nn.norm_init(dim),
+        "attn1": _attn_init(ks[0], dim, None, dim),
+        "norm2": nn.norm_init(dim),
+        "attn2": _attn_init(ks[1], dim, context_dim, dim),
+        "norm3": nn.norm_init(dim),
+        "ff": {
+            "proj_in": nn.linear_init(ks[2], dim, inner_ff * 2),  # GEGLU
+            "proj_out": nn.linear_init(ks[3], inner_ff, dim),
+        },
+    }
+
+
+def _st_init(key, channels, depth, context_dim):
+    ks = jax.random.split(key, depth + 2)
+    return {
+        "norm": nn.norm_init(channels),
+        "proj_in": nn.conv_init(ks[0], 1, 1, channels, channels),
+        "blocks": [
+            _st_block_init(ks[1 + d], channels, context_dim) for d in range(depth)
+        ],
+        "proj_out": nn.conv_init(ks[-1], 1, 1, channels, channels, zero=True),
+    }
+
+
+def _sts_init(key, ch, cfg: UNetConfig):
+    ks = jax.random.split(key, 1 + len(cfg.context_dims))
+    out = {"self_st": _st_init(ks[0], ch, cfg.transformer_depth, None)}
+    out["cross_sts"] = [
+        _st_init(ks[1 + i], ch, cfg.transformer_depth, cd)
+        for i, cd in enumerate(cfg.context_dims)
+    ]
+    return out
+
+
+def init_unet(key, cfg: UNetConfig):
+    keys = iter(jax.random.split(key, 512))
+    mc = cfg.model_channels
+    emb_dim = cfg.emb_dim
+    p = {
+        "time_embed": {
+            "lin1": nn.linear_init(next(keys), mc, cfg.time_embed_dim),
+            "lin2": nn.linear_init(next(keys), cfg.time_embed_dim, cfg.time_embed_dim),
+        }
+    }
+    if cfg.extra_film_condition_dim is not None:
+        p["film_emb"] = nn.linear_init(
+            next(keys), cfg.extra_film_condition_dim, cfg.time_embed_dim
+        )
+
+    input_blocks = [{"conv": nn.conv_init(next(keys), 3, 3, cfg.in_channels, mc)}]
+    ch = mc
+    ds = 1
+    chans = [mc]
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            blk = {"res": _resblock_init(next(keys), ch, mult * mc, emb_dim)}
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                blk.update(_sts_init(next(keys), ch, cfg))
+            input_blocks.append(blk)
+            chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            input_blocks.append({"downsample": nn.conv_init(next(keys), 3, 3, ch, ch)})
+            chans.append(ch)
+            ds *= 2
+    p["input_blocks"] = input_blocks
+
+    mid = {"res1": _resblock_init(next(keys), ch, ch, emb_dim)}
+    mid.update(_sts_init(next(keys), ch, cfg))
+    mid["res2"] = _resblock_init(next(keys), ch, ch, emb_dim)
+    p["middle_block"] = mid
+
+    output_blocks = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = chans.pop()
+            blk = {"res": _resblock_init(next(keys), ch + ich, mult * mc, emb_dim)}
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                blk.update(_sts_init(next(keys), ch, cfg))
+            if level and i == cfg.num_res_blocks:
+                blk["upsample"] = nn.conv_init(next(keys), 3, 3, ch, ch)
+                ds //= 2
+            output_blocks.append(blk)
+    p["output_blocks"] = output_blocks
+
+    p["out_norm"] = nn.norm_init(ch)
+    p["out_conv"] = nn.conv_init(next(keys), 3, 3, mc, cfg.out_channels, zero=True)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _resblock(p, x, emb):
+    h = nn.group_norm(p["in_norm"], x, eps=GN_EPS_RES)
+    h = nn.silu(h)
+    h = nn.conv2d(p["in_conv"], h)
+    emb_out = nn.linear(p["emb"], nn.silu(emb))
+    h = h + emb_out[:, None, None, :]
+    h = nn.group_norm(p["out_norm"], h, eps=GN_EPS_RES)
+    h = nn.silu(h)
+    h = nn.conv2d(p["out_conv"], h)
+    skip = nn.conv2d(p["skip"], x) if "skip" in p else x
+    return skip + h
+
+
+def _cross_attention(p, x, context, mask, num_heads):
+    q = nn.split_heads(nn.linear(p["to_q"], x), num_heads)
+    src = context if context is not None else x
+    k = nn.split_heads(nn.linear(p["to_k"], src), num_heads)
+    v = nn.split_heads(nn.linear(p["to_v"], src), num_heads)
+    out = nn.attention(q, k, v, mask=mask if context is not None else None)
+    return nn.linear(p["to_out"], nn.merge_heads(out))
+
+
+def _geglu_ff(p, x):
+    h = nn.linear(p["proj_in"], x)
+    a, gate = jnp.split(h, 2, axis=-1)
+    h = a * nn.gelu(gate)
+    return nn.linear(p["proj_out"], h)
+
+
+def _st_block(p, x, context, mask, num_heads):
+    x = x + _cross_attention(p["attn1"], nn.layer_norm(p["norm1"], x, LN_EPS), None, None, num_heads)
+    x = x + _cross_attention(p["attn2"], nn.layer_norm(p["norm2"], x, LN_EPS), context, mask, num_heads)
+    x = x + _geglu_ff(p["ff"], nn.layer_norm(p["norm3"], x, LN_EPS))
+    return x
+
+
+def _spatial_transformer(p, x, context, mask, num_heads):
+    b, t, f, c = x.shape
+    h = nn.group_norm(p["norm"], x, eps=GN_EPS_ST)
+    h = nn.conv2d(p["proj_in"], h)
+    h = h.reshape(b, t * f, c)
+    for blk in p["blocks"]:
+        h = _st_block(blk, h, context, mask, num_heads)
+    h = h.reshape(b, t, f, c)
+    h = nn.conv2d(p["proj_out"], h)
+    return x + h
+
+
+def _run_sts(blk, h, contexts, masks, cfg: UNetConfig):
+    num_heads = h.shape[-1] // cfg.num_head_channels
+    h = _spatial_transformer(blk["self_st"], h, None, None, num_heads)
+    for i, st in enumerate(blk["cross_sts"]):
+        ctx = contexts[i] if i < len(contexts) else None
+        msk = masks[i] if i < len(masks) else None
+        h = _spatial_transformer(st, h, ctx, msk, num_heads)
+    return h
+
+
+def apply_unet(
+    params,
+    cfg: UNetConfig,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    context_list: Sequence[Optional[jnp.ndarray]] = (),
+    context_mask_list: Sequence[Optional[jnp.ndarray]] = (),
+    y: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """x: [B, T, F, C]; timesteps: [B]; context_list[i]: [B, L_i, D_i];
+    context_mask_list[i]: [B, L_i] (1 = attend); y: [B, film_dim]."""
+    t_emb = nn.timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
+    emb = nn.linear(params["time_embed"]["lin1"], t_emb)
+    emb = nn.linear(params["time_embed"]["lin2"], nn.silu(emb))
+    if cfg.extra_film_condition_dim is not None:
+        assert y is not None, "film-conditioned UNet requires y"
+        emb = jnp.concatenate([emb, nn.linear(params["film_emb"], y)], axis=-1)
+
+    hs = []
+    h = x
+    for blk in params["input_blocks"]:
+        if "conv" in blk:
+            h = nn.conv2d(blk["conv"], h)
+        elif "downsample" in blk:
+            h = nn.conv2d(blk["downsample"], h, stride=(2, 2), padding=1)
+        else:
+            h = _resblock(blk["res"], h, emb)
+            if "self_st" in blk:
+                h = _run_sts(blk, h, context_list, context_mask_list, cfg)
+        hs.append(h)
+
+    mid = params["middle_block"]
+    h = _resblock(mid["res1"], h, emb)
+    h = _run_sts(mid, h, context_list, context_mask_list, cfg)
+    h = _resblock(mid["res2"], h, emb)
+
+    for blk in params["output_blocks"]:
+        h = jnp.concatenate([h, hs.pop()], axis=-1)
+        h = _resblock(blk["res"], h, emb)
+        if "self_st" in blk:
+            h = _run_sts(blk, h, context_list, context_mask_list, cfg)
+        if "upsample" in blk:
+            h = nn.nearest_upsample_2d(h)
+            h = nn.conv2d(blk["upsample"], h)
+
+    h = nn.group_norm(params["out_norm"], h, eps=GN_EPS_RES)
+    h = nn.silu(h)
+    return nn.conv2d(params["out_conv"], h)

@@ -1,0 +1,263 @@
+"""Core neural-net ops: channels-last convs, norms, attention — pure JAX.
+
+Layout policy (TPU-first): all activations are channels-last
+([B, T, C] / [B, H, W, C]) so convolutions hit XLA's NHWC path and the
+channel axis maps onto lanes. Weights are stored HWIO ([kh, kw, in, out]);
+the checkpoint converter transposes from torch's OIHW.
+
+Numerics policy: normalizations always compute in float32 (matching the
+reference's GroupNorm32 / fp32-softmax behavior); matmuls request
+``preferred_element_type=float32`` so the MXU accumulates in fp32 even under
+bfloat16 params/activations.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-default-shaped; exact parity comes from loaded weights)
+# ---------------------------------------------------------------------------
+
+
+def _kaiming_uniform(key, shape, fan_in):
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def conv_init(key, kh, kw, cin, cout, zero=False):
+    if zero:
+        return {"w": jnp.zeros((kh, kw, cin, cout)), "b": jnp.zeros((cout,))}
+    k1, k2 = jax.random.split(key)
+    fan_in = kh * kw * cin
+    return {
+        "w": _kaiming_uniform(k1, (kh, kw, cin, cout), fan_in),
+        "b": _kaiming_uniform(k2, (cout,), fan_in),
+    }
+
+
+def conv1d_init(key, k, cin, cout, zero=False):
+    if zero:
+        return {"w": jnp.zeros((k, cin, cout)), "b": jnp.zeros((cout,))}
+    k1, k2 = jax.random.split(key)
+    fan_in = k * cin
+    return {
+        "w": _kaiming_uniform(k1, (k, cin, cout), fan_in),
+        "b": _kaiming_uniform(k2, (cout,), fan_in),
+    }
+
+
+def linear_init(key, cin, cout, zero=False, bias=True):
+    if zero:
+        p = {"w": jnp.zeros((cin, cout))}
+        if bias:
+            p["b"] = jnp.zeros((cout,))
+        return p
+    k1, k2 = jax.random.split(key)
+    p = {"w": _kaiming_uniform(k1, (cin, cout), cin)}
+    if bias:
+        p["b"] = _kaiming_uniform(k2, (cout,), cin)
+    return p
+
+
+def norm_init(channels):
+    return {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))}
+
+
+# ---------------------------------------------------------------------------
+# Functional ops
+# ---------------------------------------------------------------------------
+
+
+def linear(p, x):
+    y = jnp.einsum("...i,io->...o", x, p["w"], preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def conv2d(p, x, stride: Tuple[int, int] = (1, 1), padding="SAME"):
+    """x: [B, H, W, Cin]; p['w']: [kh, kw, Cin, Cout]."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def conv1d(p, x, stride: int = 1, padding="SAME", dilation: int = 1):
+    """x: [B, T, Cin]; p['w']: [k, Cin, Cout]."""
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def conv_transpose1d(p, x, stride: int, padding: int):
+    """torch ConvTranspose1d semantics: L_out = (L-1)*stride - 2*padding + k.
+
+    p['w']: [k, Cout, Cin] (HOI — matches torch's [Cin, Cout, k] transposed
+    to kernel-first); x: [B, T, Cin].
+    """
+    k = p["w"].shape[0]
+    pad = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(p["w"], 0).astype(x.dtype),
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HOI", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def group_norm(p, x, groups: int = 32, eps: float = 1e-5):
+    """Channels-last GroupNorm matching torch semantics (contiguous channel
+    groups; statistics over spatial dims and within-group channels).
+    Always computed in float32 (reference GroupNorm32, util.py:239-241)."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    *lead, c = x.shape
+    g = groups
+    xg = x.reshape(x.shape[0], -1, g, c // g)  # [B, S, G, C/G]
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(x.shape)
+    x = x * p["scale"] + p["bias"]
+    return x.astype(orig_dtype)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    x = x * p["scale"] + p["bias"]
+    return x.astype(orig_dtype)
+
+
+def rms_norm(p, x, eps: float = 1e-6):
+    """T5-style RMSNorm (no mean subtraction, no bias)."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * p["scale"]).astype(orig_dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x, slope=0.1):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def nearest_upsample_2d(x, factor_h: int = 2, factor_w: int = 2):
+    """[B, H, W, C] nearest-neighbor upsampling (torch F.interpolate nearest)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, factor_h, w, factor_w, c)
+    )
+    return x.reshape(b, h * factor_h, w * factor_w, c)
+
+
+def avg_pool_2d(x, window: Tuple[int, int], stride: Tuple[int, int]):
+    return jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        (1, window[0], window[1], 1),
+        (1, stride[0], stride[1], 1),
+        "VALID",
+    ) / (window[0] * window[1])
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Multi-head scaled dot-product attention, channels-last.
+
+    q: [B, Tq, H, D]; k, v: [B, Tk, H, D]; mask: [B, Tk] (1 = keep) or
+    broadcastable additive-bias-shaped boolean [B, H, Tq, Tk];
+    bias: additive [B|1, H|1, Tq, Tk]. Softmax in float32 (reference
+    attention.py:354-363 does fp32 masked softmax).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias
+    if mask is not None:
+        if mask.ndim == 2:
+            mask = mask[:, None, None, :]
+        neg = jnp.finfo(jnp.float32).max
+        logits = jnp.where(mask.astype(bool), logits, -neg)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def split_heads(x, num_heads):
+    b, t, c = x.shape
+    return x.reshape(b, t, num_heads, c // num_heads)
+
+
+def merge_heads(x):
+    b, t, h, d = x.shape
+    return x.reshape(b, t, h * d)
+
+
+def timestep_embedding(timesteps, dim, max_period=10000.0):
+    """Sinusoidal embedding, [cos | sin] order (reference
+    diffusionmodules/util.py:172-196)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb

@@ -1,0 +1,97 @@
+"""Test-only loader for the read-only PyTorch reference at /root/reference.
+
+Parity tests import reference modules to generate golden activations with
+random weights. Nothing from the reference is vendored into this repo — it is
+imported in-place, and every test using it skips cleanly when the reference
+tree or torch is unavailable (e.g. on a judge machine without the mount).
+
+Several of the reference's dependencies are not in this image (torchaudio,
+librosa, soundfile, huggingface_hub.hf_hub_download, progressbar, timm,
+phonemizer, torchlibrosa); minimal attribute shims are installed so that the
+*module graphs we test* (UNet, VAE, HiFi-GAN, attention, schedules) import.
+"""
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _ensure_module(name, **attrs):
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+        if "." in name:
+            parent, child = name.rsplit(".", 1)
+            setattr(_ensure_module(parent), child, mod)
+    for k, v in attrs.items():
+        if not hasattr(mod, k):
+            setattr(mod, k, v)
+    return mod
+
+
+def install_shims():
+    import numpy as np
+
+    _ensure_module("huggingface_hub", hf_hub_download=lambda **kw: None)
+    _ensure_module("progressbar", ProgressBar=object)
+    _ensure_module("soundfile", write=lambda *a, **k: None)
+    _ensure_module("torchaudio")
+    _ensure_module("torchaudio.functional", resample=lambda *a, **k: None)
+    _ensure_module("torchaudio.compliance")
+    _ensure_module("torchaudio.compliance.kaldi", fbank=lambda *a, **k: None)
+    _ensure_module("torchaudio.transforms", MelSpectrogram=object)
+
+    def _pad_center(data, size, axis=-1):
+        n = data.shape[axis]
+        lpad = (size - n) // 2
+        widths = [(0, 0)] * data.ndim
+        widths[axis] = (lpad, size - n - lpad)
+        return np.pad(data, widths)
+
+    _ensure_module("librosa")
+    _ensure_module(
+        "librosa.util", pad_center=_pad_center, tiny=lambda x: np.finfo(np.float32).tiny
+    )
+
+    def _mel(sr, n_fft, n_mels, fmin, fmax):
+        from audioldm2_tpu.ops.stft import librosa_mel_filters
+
+        return librosa_mel_filters(sr, n_fft, n_mels, fmin, fmax)
+
+    _ensure_module("librosa.filters", mel=_mel)
+    _ensure_module("timm")
+    _ensure_module("timm.models")
+    _ensure_module("timm.models.layers", to_2tuple=lambda x: (x, x) if not isinstance(x, tuple) else x, DropPath=object, trunc_normal_=lambda *a, **k: None)
+    _ensure_module("phonemizer", phonemize=lambda *a, **k: "")
+    _ensure_module("unidecode", unidecode=lambda s: s)
+    _ensure_module("torchlibrosa")
+    _ensure_module("torchlibrosa.stft", Spectrogram=object, LogmelFilterBank=object)
+    _ensure_module("torchlibrosa.augmentation", SpecAugmentation=object)
+
+
+def load(module_name):
+    """Import a reference module (e.g.
+    'audioldm2.latent_diffusion.modules.diffusionmodules.openaimodel')."""
+    import pytest
+
+    import os
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree not available")
+    torch = pytest.importorskip("torch")
+    del torch
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    install_shims()
+    # Bypass audioldm2/__init__.py (it imports the full pipeline incl.
+    # torchaudio/torchvision); register a bare package pointing at the tree
+    # so submodules import standalone.
+    if "audioldm2" not in sys.modules:
+        pkg = types.ModuleType("audioldm2")
+        pkg.__path__ = [os.path.join(REFERENCE_ROOT, "audioldm2")]
+        sys.modules["audioldm2"] = pkg
+    import importlib
+
+    return importlib.import_module(module_name)
