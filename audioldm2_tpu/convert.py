@@ -23,7 +23,13 @@ from typing import Dict
 
 import numpy as np
 
-from audioldm2_tpu.config import ModelConfig, UNetConfig, VAEConfig, VocoderConfig
+from audioldm2_tpu.config import (
+    FlanT5Config,
+    ModelConfig,
+    UNetConfig,
+    VAEConfig,
+    VocoderConfig,
+)
 
 
 def state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
@@ -341,3 +347,45 @@ def convert_unet(sd: Dict[str, np.ndarray], cfg: UNetConfig, prefix: str = "mode
     p["out_norm"] = norm_p(sd, prefix + "out.0")
     p["out_conv"] = conv2d_p(sd, prefix + "out.2")
     return p
+
+
+# ---------------------------------------------------------------------------
+# FLAN-T5 encoder
+# ---------------------------------------------------------------------------
+
+
+def convert_t5_encoder(sd: Dict[str, np.ndarray], cfg: FlanT5Config, prefix: str = "") -> dict:
+    """Map HuggingFace T5EncoderModel keys (as stored inside the monolithic
+    checkpoint under ``cond_stage_models.<i>.model.``) to
+    :mod:`audioldm2_tpu.models.t5` params."""
+    emb_key = prefix + "shared.weight"
+    if emb_key not in sd:
+        emb_key = prefix + "encoder.embed_tokens.weight"
+    blocks = []
+    for i in range(cfg.num_layers):
+        bp = f"{prefix}encoder.block.{i}.layer"
+        blk = {
+            "ln1": {"scale": sd[f"{bp}.0.layer_norm.weight"]},
+            "attn": {
+                "q": linear_p(sd, f"{bp}.0.SelfAttention.q", bias=False),
+                "k": linear_p(sd, f"{bp}.0.SelfAttention.k", bias=False),
+                "v": linear_p(sd, f"{bp}.0.SelfAttention.v", bias=False),
+                "o": linear_p(sd, f"{bp}.0.SelfAttention.o", bias=False),
+            },
+            "ln2": {"scale": sd[f"{bp}.1.layer_norm.weight"]},
+            "ff": {
+                "wi_0": linear_p(sd, f"{bp}.1.DenseReluDense.wi_0", bias=False),
+                "wi_1": linear_p(sd, f"{bp}.1.DenseReluDense.wi_1", bias=False),
+                "wo": linear_p(sd, f"{bp}.1.DenseReluDense.wo", bias=False),
+            },
+        }
+        if i == 0:
+            blk["rel_bias"] = sd[
+                f"{bp}.0.SelfAttention.relative_attention_bias.weight"
+            ]
+        blocks.append(blk)
+    return {
+        "token_embed": sd[emb_key],
+        "blocks": blocks,
+        "final_ln": {"scale": sd[prefix + "encoder.final_layer_norm.weight"]},
+    }

@@ -1,0 +1,150 @@
+"""DDIM sampler parity and behavior tests.
+
+Trajectory parity vs the reference DDIMSampler is tested with a fixed x_T,
+eta=0 (deterministic path) and an analytic eps model, so torch/jax RNG
+differences never enter (the strategy SURVEY.md §4 prescribes: inject noise
+at the sampler boundary).
+"""
+
+import numpy as np
+import pytest
+
+import _reference
+from audioldm2_tpu.diffusion import schedule as sched
+from audioldm2_tpu.diffusion.ddim import cfg_eps_fn, ddim_sample
+
+SCHED = sched.DiffusionSchedule.create(1000, "linear", 0.0015, 0.0195)
+SHAPE = (2, 8, 4, 3)
+GUIDANCE = 3.5
+
+
+def _analytic_eps(x, t, cond_scale):
+    """Deterministic eps: scale * x + sin(t)/3 broadcast (jnp — runs traced)."""
+    import jax.numpy as jnp
+
+    return cond_scale * x + jnp.sin(t.astype(jnp.float32))[:, None, None, None] / 3.0
+
+
+class _FakeTorchModel:
+    """Minimal duck-typed model for the reference DDIMSampler."""
+
+    parameterization = "eps"
+
+    def __init__(self, torch):
+        self.torch = torch
+        self.device = torch.device("cpu")
+        self.num_timesteps = SCHED.num_timesteps
+        self.betas = torch.from_numpy(SCHED.betas)
+        self.alphas_cumprod = torch.from_numpy(SCHED.alphas_cumprod)
+        self.alphas_cumprod_prev = torch.from_numpy(SCHED.alphas_cumprod_prev)
+        self.sqrt_one_minus_alphas_cumprod = torch.from_numpy(
+            SCHED.sqrt_one_minus_alphas_cumprod
+        )
+
+    def apply_model(self, x, t, cond):
+        scale = 0.10 if cond["kind"] == "cond" else 0.05
+        return scale * x + self.torch.sin(t.float())[:, None, None, None] / 3.0
+
+
+def test_schedule_matches_reference():
+    torch = pytest.importorskip("torch")
+    util = _reference.load(
+        "audioldm2.latent_diffusion.modules.diffusionmodules.util"
+    )
+    betas_ref = util.make_beta_schedule("linear", 1000, 0.0015, 0.0195)
+    np.testing.assert_allclose(SCHED.betas, betas_ref, rtol=1e-6)
+    ts_ref = util.make_ddim_timesteps("uniform", 200, 1000, verbose=False)
+    ts, alphas, alphas_prev, sigmas = sched.make_ddim_params(SCHED, 200, eta=1.0)
+    np.testing.assert_array_equal(ts, ts_ref)
+    sig_ref, al_ref, alp_ref = util.make_ddim_sampling_parameters(
+        alphacums=torch.from_numpy(SCHED.alphas_cumprod), ddim_timesteps=ts_ref,
+        eta=1.0, verbose=False,
+    )
+    np.testing.assert_allclose(alphas, al_ref, rtol=1e-5)
+    np.testing.assert_allclose(alphas_prev, alp_ref, rtol=1e-5)
+    np.testing.assert_allclose(sigmas, sig_ref.numpy(), rtol=1e-4, atol=1e-7)
+
+
+def test_ddim_trajectory_parity_eta0(rng):
+    torch = pytest.importorskip("torch")
+    ddim_mod = _reference.load("audioldm2.latent_diffusion.models.ddim")
+    model = _FakeTorchModel(torch)
+    sampler = ddim_mod.DDIMSampler(model, device=torch.device("cpu"))
+
+    x_T = rng.standard_normal(SHAPE).astype(np.float32)
+    with torch.no_grad():
+        ref_out, _ = sampler.sample(
+            S=20,
+            batch_size=SHAPE[0],
+            shape=SHAPE[1:],
+            conditioning={"kind": "cond"},
+            eta=0.0,
+            x_T=torch.from_numpy(x_T),
+            verbose=False,
+            unconditional_guidance_scale=GUIDANCE,
+            unconditional_conditioning={"kind": "uncond"},
+        )
+
+    def model_fn(x2, t2):
+        import jax.numpy as jnp
+
+        b = SHAPE[0]
+        e_u = _analytic_eps(x2[:b], t2[:b], 0.05)
+        e_c = _analytic_eps(x2[b:], t2[b:], 0.10)
+        return jnp.concatenate([e_u, e_c], axis=0)
+
+    import jax
+
+    out = ddim_sample(
+        cfg_eps_fn(model_fn, GUIDANCE),
+        jax.random.PRNGKey(0),
+        SHAPE,
+        SCHED,
+        num_steps=20,
+        eta=0.0,
+        x_T=x_T,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=3e-4, rtol=1e-3)
+
+
+def test_ddim_mask_inpainting_keeps_region():
+    import jax
+
+    x0 = np.full(SHAPE, 0.7, np.float32)
+    mask = np.zeros((SHAPE[0], SHAPE[1], SHAPE[2], 1), np.float32)
+    mask[:, :4] = 1.0  # keep first half of time rows
+
+    def eps_fn(x, t):
+        return 0.0 * x
+
+    out = np.asarray(
+        ddim_sample(
+            eps_fn,
+            jax.random.PRNGKey(1),
+            SHAPE,
+            SCHED,
+            num_steps=10,
+            eta=0.0,
+            mask=jax.numpy.asarray(mask),
+            x0=jax.numpy.asarray(x0),
+        )
+    )
+    # At the final step t=1, alphas_cumprod[1] ~ 0.997: the masked region is
+    # pinned near x0 while the free region evolved from pure noise.
+    kept = out[:, :4]
+    free = out[:, 4:]
+    assert np.abs(kept - x0[:, :4]).mean() < 0.15
+    assert np.abs(free - x0[:, 4:]).mean() > 0.3
+
+
+def test_ddim_deterministic_given_key():
+    import jax
+
+    def eps_fn(x, t):
+        return 0.1 * x
+
+    a = ddim_sample(eps_fn, jax.random.PRNGKey(7), SHAPE, SCHED, num_steps=5, eta=1.0)
+    b = ddim_sample(eps_fn, jax.random.PRNGKey(7), SHAPE, SCHED, num_steps=5, eta=1.0)
+    c = ddim_sample(eps_fn, jax.random.PRNGKey(8), SHAPE, SCHED, num_steps=5, eta=1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
