@@ -389,3 +389,104 @@ def convert_t5_encoder(sd: Dict[str, np.ndarray], cfg: FlanT5Config, prefix: str
         "blocks": blocks,
         "final_ln": {"scale": sd[prefix + "encoder.final_layer_norm.weight"]},
     }
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 (HF Conv1D weights are [in, out] — no transpose)
+# ---------------------------------------------------------------------------
+
+
+def _gpt2_conv1d_p(sd, prefix):
+    return {"w": sd[prefix + ".weight"], "b": sd[prefix + ".bias"]}
+
+
+def convert_gpt2(sd: Dict[str, np.ndarray], n_layer: int = 12, prefix: str = "") -> dict:
+    """Map HF GPT2Model keys (as stored under
+    ``cond_stage_models.<i>.model.``) to :mod:`audioldm2_tpu.models.gpt2`."""
+    blocks = []
+    for i in range(n_layer):
+        bp = f"{prefix}h.{i}"
+        blocks.append(
+            {
+                "ln_1": norm_p(sd, bp + ".ln_1"),
+                "attn": {
+                    "c_attn": _gpt2_conv1d_p(sd, bp + ".attn.c_attn"),
+                    "c_proj": _gpt2_conv1d_p(sd, bp + ".attn.c_proj"),
+                },
+                "ln_2": norm_p(sd, bp + ".ln_2"),
+                "mlp": {
+                    "c_fc": _gpt2_conv1d_p(sd, bp + ".mlp.c_fc"),
+                    "c_proj": _gpt2_conv1d_p(sd, bp + ".mlp.c_proj"),
+                },
+            }
+        )
+    return {
+        "wpe": sd[prefix + "wpe.weight"],
+        "blocks": blocks,
+        "ln_f": norm_p(sd, prefix + "ln_f"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# RoBERTa (CLAP text tower)
+# ---------------------------------------------------------------------------
+
+
+def convert_roberta(sd: Dict[str, np.ndarray], num_layers: int = 12, prefix: str = "") -> dict:
+    """Map HF RobertaModel keys to :mod:`audioldm2_tpu.models.roberta`."""
+    layers = []
+    for i in range(num_layers):
+        lp = f"{prefix}encoder.layer.{i}"
+        layers.append(
+            {
+                "attn": {
+                    "q": linear_p(sd, lp + ".attention.self.query"),
+                    "k": linear_p(sd, lp + ".attention.self.key"),
+                    "v": linear_p(sd, lp + ".attention.self.value"),
+                    "out": linear_p(sd, lp + ".attention.output.dense"),
+                    "ln": norm_p(sd, lp + ".attention.output.LayerNorm"),
+                },
+                "ff": {
+                    "intermediate": linear_p(sd, lp + ".intermediate.dense"),
+                    "output": linear_p(sd, lp + ".output.dense"),
+                    "ln": norm_p(sd, lp + ".output.LayerNorm"),
+                },
+            }
+        )
+    return {
+        "word_embeddings": sd[prefix + "embeddings.word_embeddings.weight"],
+        "position_embeddings": sd[prefix + "embeddings.position_embeddings.weight"],
+        "token_type_embeddings": sd[prefix + "embeddings.token_type_embeddings.weight"],
+        "emb_ln": norm_p(sd, prefix + "embeddings.LayerNorm"),
+        "layers": layers,
+        "pooler": linear_p(sd, prefix + "pooler.dense"),
+    }
+
+
+def convert_clap(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
+    """Map reference CLAP keys (clap/open_clip/model.py:419-574). ``prefix``
+    is e.g. ``cond_stage_models.<i>.model.`` or ``clap.model.`` (the DDPM-
+    level reranker, ddpm.py:114-120)."""
+    params = {
+        "text_branch": convert_roberta(sd, prefix=prefix + "text_branch."),
+        "text_projection": {
+            "lin1": linear_p(sd, prefix + "text_projection.0"),
+            "lin2": linear_p(sd, prefix + "text_projection.2"),
+        },
+        "audio_projection": {
+            "lin1": linear_p(sd, prefix + "audio_projection.0"),
+            "lin2": linear_p(sd, prefix + "audio_projection.2"),
+        },
+        "logit_scale_a": sd[prefix + "logit_scale_a"],
+        "logit_scale_t": sd[prefix + "logit_scale_t"],
+        "audio_branch": None,
+    }
+    try:
+        from audioldm2_tpu import convert_htsat
+
+        params["audio_branch"] = convert_htsat.convert_htsat(
+            sd, prefix=prefix + "audio_branch."
+        )
+    except ImportError:
+        pass
+    return params

@@ -1,0 +1,197 @@
+"""Latent diffusion orchestration: conditioning -> DDIM -> VAE -> vocoder.
+
+Functional re-design of the reference LatentDiffusion/DiffusionWrapper pair
+(reference ``ddpm.py:600-1879``). The full prompt->waveform path compiles to
+one XLA program per latent geometry: conditioner encoding, candidate tiling,
+classifier-free guidance (uncond/cond stacked on batch — one UNet pass per
+step), the 200-step DDIM `lax.scan`, VAE decode and HiFi-GAN vocoding all
+run on device with no host round-trips.
+
+Conditioner wiring follows the DiffusionWrapper contract
+(ddpm.py:1821-1879): "film" outputs concatenate on the feature axis into the
+UNet's y; "crossattn" outputs fill UNet context slots in conditioner order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioldm2_tpu.config import ModelConfig
+from audioldm2_tpu.diffusion import ddim
+from audioldm2_tpu.diffusion.schedule import DiffusionSchedule
+from audioldm2_tpu.models import conditioners, unet, vae, vocoder
+
+
+def _tile(x, n):
+    return jnp.concatenate([x] * n, axis=0) if n > 1 else x
+
+
+def assemble_unet_inputs(cfg: ModelConfig, outputs):
+    """[(kind, value)] per conditioner -> (y, context_list, mask_list)."""
+    y = None
+    contexts, masks = [], []
+    for kind, value in outputs:
+        if kind == "film":
+            emb = value
+            if emb.ndim == 3:  # [B, 1, D] -> [B, D] (reference squeeze(1))
+                emb = emb[:, 0]
+            y = emb if y is None else jnp.concatenate([y, emb], axis=-1)
+        elif kind == "crossattn":
+            ctx, mask = value
+            contexts.append(ctx)
+            masks.append(mask)
+        else:
+            raise ValueError(f"unknown conditioning kind {kind!r}")
+    return y, contexts, masks
+
+
+def encode_conditioning(params, cfg: ModelConfig, batch, n_gen: int, guidance: float):
+    """Encode all conditioners; returns stacked (uncond || cond·n_gen) UNet
+    inputs for a [2·B·n_gen] CFG batch, or plain cond inputs if guidance==1.
+    """
+    cond_out = [
+        conditioners.encode(params["cond"][spec.name], spec, batch)
+        for spec in cfg.conditioners
+    ]
+    b = None
+    for kind, v in cond_out:
+        b = (v[0] if kind == "crossattn" else v).shape[0]
+        break
+    bsz = b * n_gen
+
+    def tile_out(outputs, n):
+        tiled = []
+        for kind, v in outputs:
+            if kind == "crossattn":
+                tiled.append((kind, (_tile(v[0], n), _tile(v[1], n))))
+            else:
+                tiled.append((kind, _tile(v, n)))
+        return tiled
+
+    cond_out = tile_out(cond_out, n_gen)
+    if guidance == 1.0:
+        return assemble_unet_inputs(cfg, cond_out), bsz, False
+
+    uncond_out = [
+        conditioners.unconditional(params["cond"][spec.name], spec, batch, bsz)
+        for spec in cfg.conditioners
+    ]
+    stacked = []
+    for (kind_u, vu), (kind_c, vc) in zip(uncond_out, cond_out):
+        assert kind_u == kind_c
+        if kind_u == "crossattn":
+            stacked.append(
+                (
+                    kind_u,
+                    (
+                        jnp.concatenate([vu[0], vc[0]], axis=0),
+                        jnp.concatenate([vu[1], vc[1]], axis=0),
+                    ),
+                )
+            )
+        else:
+            vu2 = vu[:, 0] if vu.ndim == 3 else vu
+            vc2 = vc[:, 0] if vc.ndim == 3 else vc
+            stacked.append((kind_u, jnp.concatenate([vu2, vc2], axis=0)))
+    return assemble_unet_inputs(cfg, stacked), bsz, True
+
+
+def _generate_impl(
+    params,
+    batch,
+    key,
+    cfg: ModelConfig,
+    schedule: DiffusionSchedule,
+    latent_t_size: int,
+    n_gen: int,
+    guidance: float,
+    ddim_steps: int,
+    ddim_eta: float,
+    use_mask: bool,
+):
+    (y, contexts, masks), bsz, cfg_on = encode_conditioning(
+        params, cfg, batch, n_gen, guidance
+    )
+    shape = (bsz, latent_t_size, cfg.latent_f_size, cfg.latent_channels)
+
+    def model_fn(x, t):
+        return unet.apply_unet(
+            params["unet"], cfg.unet, x, t,
+            context_list=contexts, context_mask_list=masks, y=y,
+        )
+
+    if cfg_on:
+        eps_fn = ddim.cfg_eps_fn(model_fn, guidance)
+    else:
+        eps_fn = model_fn
+
+    mask = x0 = None
+    if use_mask:
+        mask = _tile(batch["inpaint_mask"], n_gen)
+        x0 = _tile(batch["inpaint_x0"], n_gen)
+
+    z = ddim.ddim_sample(
+        eps_fn, key, shape, schedule,
+        num_steps=ddim_steps, eta=ddim_eta, mask=mask, x0=x0,
+    )
+    z = z / params["scale_factor"]
+    mel = vae.decode(params["vae"], cfg.vae, z)
+    wav = vocoder.apply_vocoder(params["vocoder"], cfg.vocoder, mel[..., 0])
+    return wav, mel
+
+
+class LatentDiffusionModel:
+    """Holds config + params and the jit-compiled generation programs."""
+
+    def __init__(self, cfg: ModelConfig, params: Dict):
+        self.cfg = cfg
+        self.params = params
+        self.schedule = DiffusionSchedule.create(
+            cfg.diffusion.timesteps,
+            cfg.diffusion.beta_schedule,
+            cfg.diffusion.linear_start,
+            cfg.diffusion.linear_end,
+        )
+        self._generate_jit = jax.jit(
+            functools.partial(_generate_impl, cfg=cfg, schedule=self.schedule),
+            static_argnames=(
+                "latent_t_size", "n_gen", "guidance", "ddim_steps", "ddim_eta",
+                "use_mask",
+            ),
+        )
+
+    def encode_mel(self, key, mel):
+        """mel [B, T, M, 1] -> scaled latent (reference get_first_stage_encoding)."""
+        mean, logvar = vae.encode_moments(self.params["vae"], self.cfg.vae, mel)
+        z = vae.sample_posterior(key, mean, logvar)
+        return self.params["scale_factor"] * z
+
+    def generate(
+        self,
+        batch: Dict,
+        key,
+        latent_t_size: int,
+        n_gen: int = 1,
+        guidance: float = 3.5,
+        ddim_steps: int = 200,
+        ddim_eta: float = 1.0,
+        use_mask: bool = False,
+    ):
+        """Returns (waveform [B*n_gen, N] np.float32, mel)."""
+        wav, mel = self._generate_jit(
+            self.params,
+            batch,
+            key,
+            latent_t_size=latent_t_size,
+            n_gen=n_gen,
+            guidance=float(guidance),
+            ddim_steps=int(ddim_steps),
+            ddim_eta=float(ddim_eta),
+            use_mask=use_mask,
+        )
+        return np.asarray(wav), np.asarray(mel)

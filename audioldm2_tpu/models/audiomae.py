@@ -1,0 +1,101 @@
+"""AudioMAE: ViT-B/16 masked-autoencoder audio encoder — functional JAX.
+
+Re-design of the frozen AudioMAE used for conditioning (reference
+``modules/audiomae/AudioMAE.py:100-138``, ``models_mae.py:447-470``): a
+1024x128 kaldi fbank is patchified (16x16 conv -> 64x8 = 512 patches + CLS),
+run through 12 pre-norm ViT blocks (LN eps 1e-6), and the *contextual
+embedding* is the mean of the LN'd outputs of blocks 9-11
+(``n > contextual_depth`` with contextual_depth=8).
+
+The conditioner pooling ((avg+max)/2 over a [64, 8] token grid, reference
+``encoders/modules.py:481-513``) is also here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from audioldm2_tpu.config import AudioMAEConfig
+from audioldm2_tpu.ops import nn
+
+LN_EPS = 1e-6
+
+
+def init_audiomae(key, cfg: AudioMAEConfig):
+    keys = iter(jax.random.split(key, 8 * cfg.depth + 8))
+    d = cfg.embed_dim
+    n_patches = (cfg.img_size[0] // cfg.patch_size) * (cfg.img_size[1] // cfg.patch_size)
+    blocks = []
+    for _ in range(cfg.depth):
+        blocks.append(
+            {
+                "norm1": nn.norm_init(d),
+                "attn": {
+                    "qkv": nn.linear_init(next(keys), d, 3 * d),
+                    "proj": nn.linear_init(next(keys), d, d),
+                },
+                "norm2": nn.norm_init(d),
+                "mlp": {
+                    "fc1": nn.linear_init(next(keys), d, int(d * cfg.mlp_ratio)),
+                    "fc2": nn.linear_init(next(keys), int(d * cfg.mlp_ratio), d),
+                },
+            }
+        )
+    return {
+        "patch_embed": nn.conv_init(next(keys), cfg.patch_size, cfg.patch_size, 1, d),
+        "cls_token": jnp.zeros((1, 1, d)),
+        "pos_embed": jax.random.normal(next(keys), (1, n_patches + 1, d)) * 0.02,
+        "blocks": blocks,
+        "norm": nn.norm_init(d),
+    }
+
+
+def _vit_block(p, x, num_heads):
+    h = nn.layer_norm(p["norm1"], x, LN_EPS)
+    qkv = nn.linear(p["attn"]["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    att = nn.attention(
+        nn.split_heads(q, num_heads),
+        nn.split_heads(k, num_heads),
+        nn.split_heads(v, num_heads),
+    )
+    x = x + nn.linear(p["attn"]["proj"], nn.merge_heads(att))
+    h = nn.layer_norm(p["norm2"], x, LN_EPS)
+    h = nn.linear(p["mlp"]["fc2"], jax.nn.gelu(nn.linear(p["mlp"]["fc1"], h), approximate=False))
+    return x + h
+
+
+def encode_no_mask(params, cfg: AudioMAEConfig, fbank):
+    """fbank: [B, 1024, 128] -> contextual embedding [B, 513, 768]
+    (reference forward_encoder_no_mask, models_mae.py:447-470)."""
+    x = fbank[..., None]  # [B, T, F, 1]
+    # 16x16/stride-16 patch conv; flatten in torch order (row-major over the
+    # [T/16, F/16] grid)
+    p = nn.conv2d(params["patch_embed"], x, stride=(cfg.patch_size, cfg.patch_size), padding="VALID")
+    b, gt, gf, d = p.shape
+    tokens = p.reshape(b, gt * gf, d)
+    tokens = tokens + params["pos_embed"][:, 1:]
+    cls = params["cls_token"] + params["pos_embed"][:, :1]
+    x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, d)), tokens], axis=1)
+
+    contextual = []
+    for n, blk in enumerate(params["blocks"]):
+        x = _vit_block(blk, x, cfg.num_heads)
+        if n > cfg.contextual_depth:
+            contextual.append(nn.layer_norm(params["norm"], x, LN_EPS))
+    return jnp.mean(jnp.stack(contextual, axis=0), axis=0)
+
+
+def avg_max_pool(representation, cfg: AudioMAEConfig):
+    """(avg+max)/2 pooling of the 512 patch tokens on the [64, 8] grid
+    (reference encoders/modules.py:481-513). Returns [B, tokens, 768]."""
+    tp = min(cfg.eval_time_pooling, 64)
+    fp = min(cfg.eval_freq_pooling, 8)
+    b, _, d = representation.shape
+    grid = representation[:, 1:, :].reshape(b, 64, 8, d)
+    window = (1, tp, fp, 1)
+    avg = jax.lax.reduce_window(grid, 0.0, jax.lax.add, window, window, "VALID") / (tp * fp)
+    mx = jax.lax.reduce_window(grid, -jnp.inf, jax.lax.max, window, window, "VALID")
+    pooled = (avg + mx) / 2.0
+    return pooled.reshape(b, -1, d)

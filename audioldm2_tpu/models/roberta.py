@@ -1,0 +1,94 @@
+"""RoBERTa-base text encoder — functional JAX.
+
+Backbone of the CLAP text branch (reference
+``clap/open_clip/model.py:513-516,655-663`` uses HF RobertaModel and its
+pooler output). Post-LN BERT-style blocks; RoBERTa position ids are
+``cumsum(mask) * mask + padding_idx`` with padding_idx 1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from audioldm2_tpu.ops import nn
+
+
+@dataclass(frozen=True)
+class RobertaConfig:
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    pad_token_id: int = 1
+    layer_norm_eps: float = 1e-5
+
+
+def init_roberta(key, cfg: RobertaConfig):
+    keys = iter(jax.random.split(key, 16 * cfg.num_layers + 8))
+    d = cfg.hidden_size
+
+    def emb(shape):
+        return jax.random.normal(next(keys), shape) * 0.02
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append(
+            {
+                "attn": {
+                    "q": nn.linear_init(next(keys), d, d),
+                    "k": nn.linear_init(next(keys), d, d),
+                    "v": nn.linear_init(next(keys), d, d),
+                    "out": nn.linear_init(next(keys), d, d),
+                    "ln": nn.norm_init(d),
+                },
+                "ff": {
+                    "intermediate": nn.linear_init(next(keys), d, cfg.intermediate_size),
+                    "output": nn.linear_init(next(keys), cfg.intermediate_size, d),
+                    "ln": nn.norm_init(d),
+                },
+            }
+        )
+    return {
+        "word_embeddings": emb((cfg.vocab_size, d)),
+        "position_embeddings": emb((cfg.max_position_embeddings, d)),
+        "token_type_embeddings": emb((cfg.type_vocab_size, d)),
+        "emb_ln": nn.norm_init(d),
+        "layers": layers,
+        "pooler": nn.linear_init(next(keys), d, d),
+    }
+
+
+def apply_roberta(params, cfg: RobertaConfig, input_ids, attention_mask):
+    """Returns (sequence_output [B, L, D], pooler_output [B, D])."""
+    mask = attention_mask.astype(jnp.int32)
+    incremental = jnp.cumsum(mask, axis=1) * mask
+    position_ids = incremental + cfg.pad_token_id
+
+    x = (
+        params["word_embeddings"][input_ids]
+        + params["position_embeddings"][position_ids]
+        + params["token_type_embeddings"][0]
+    )
+    x = nn.layer_norm(params["emb_ln"], x, cfg.layer_norm_eps)
+
+    for layer in params["layers"]:
+        a = layer["attn"]
+        q = nn.split_heads(nn.linear(a["q"], x), cfg.num_heads)
+        k = nn.split_heads(nn.linear(a["k"], x), cfg.num_heads)
+        v = nn.split_heads(nn.linear(a["v"], x), cfg.num_heads)
+        att = nn.attention(q, k, v, mask=attention_mask)
+        att = nn.linear(a["out"], nn.merge_heads(att))
+        x = nn.layer_norm(a["ln"], x + att, cfg.layer_norm_eps)
+        f = layer["ff"]
+        h = jax.nn.gelu(nn.linear(f["intermediate"], x), approximate=False)
+        h = nn.linear(f["output"], h)
+        x = nn.layer_norm(f["ln"], x + h, cfg.layer_norm_eps)
+
+    pooled = jnp.tanh(nn.linear(params["pooler"], x[:, 0]))
+    return x, pooled

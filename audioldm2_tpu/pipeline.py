@@ -1,0 +1,304 @@
+"""Public pipeline API: build_model / text_to_audio / sr_inpainting.
+
+Mirrors the reference surface (reference ``pipeline.py:142-267``) on top of
+the functional TPU stack. Host side: tokenization, wav IO, batch assembly.
+Device side: one jitted program per latent geometry covering conditioning ->
+DDIM -> VAE decode -> vocoder.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+
+from audioldm2_tpu.config import ModelConfig, default_audioldm_config
+from audioldm2_tpu.diffusion.latent_diffusion import LatentDiffusionModel
+from audioldm2_tpu.models import conditioners
+from audioldm2_tpu.models import unet as unet_m
+from audioldm2_tpu.models import vae as vae_m
+from audioldm2_tpu.models import vocoder as voc_m
+from audioldm2_tpu.ops.stft import KaldiFbank, MelSpectrogram
+from audioldm2_tpu.utils import text as text_utils
+from audioldm2_tpu.utils.audio_io import read_wav_file, save_wave, text_to_filename
+
+
+def seed_everything(seed: int):
+    """The JAX analogue of the reference's global RNG seeding
+    (reference pipeline.py:20-31): we return a threefry key; all device
+    randomness flows from it explicitly."""
+    np.random.seed(int(seed) % (2**32))
+    return jax.random.PRNGKey(int(seed))
+
+
+def init_params(key, cfg: ModelConfig) -> Dict:
+    """Randomly initialized parameter tree (used when no checkpoint is
+    available — e.g. zero-egress benchmarking — and as the target structure
+    for the converter).
+
+    Init runs pinned to the host CPU backend: it is hundreds of tiny op
+    dispatches, which are pathologically slow op-by-op on a remote TPU
+    runtime; the first jitted forward pass moves everything to device in one
+    transfer."""
+    import jax.numpy as jnp
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        k_unet, k_vae, k_voc, k_cond = jax.random.split(key, 4)
+        cond_params = {}
+        cond_keys = jax.random.split(k_cond, max(len(cfg.conditioners), 1))
+        for spec, ck in zip(cfg.conditioners, cond_keys):
+            cond_params[spec.name] = conditioners.init_conditioner(ck, spec)
+        return {
+            "unet": unet_m.init_unet(k_unet, cfg.unet),
+            "vae": vae_m.init_vae(k_vae, cfg.vae),
+            "vocoder": voc_m.init_vocoder(k_voc, cfg.vocoder),
+            "cond": cond_params,
+            "scale_factor": jnp.asarray(1.0, jnp.float32),
+        }
+
+
+def load_checkpoint_params(ckpt_path: str, cfg: ModelConfig) -> Dict:
+    """Convert a reference ``.pth`` monolithic checkpoint into this
+    framework's param tree (requires torch at conversion time only)."""
+    import torch
+
+    from audioldm2_tpu import convert
+
+    sd = torch.load(ckpt_path, map_location="cpu")
+    sd = sd.get("state_dict", sd)
+    sd = convert.state_dict_to_numpy(sd)
+
+    params: Dict = {
+        "unet": convert.convert_unet(sd, cfg.unet, prefix="model.diffusion_model."),
+        "vae": convert.convert_vae(sd, cfg.vae, prefix="first_stage_model."),
+        "vocoder": convert.convert_vocoder(
+            sd, cfg.vocoder, prefix="first_stage_model.vocoder."
+        ),
+        "scale_factor": np.asarray(sd.get("scale_factor", 1.0), np.float32),
+        "cond": {},
+    }
+    for idx, spec in enumerate(cfg.conditioners):
+        prefix = f"cond_stage_models.{idx}."
+        if spec.kind == "flan_t5":
+            params["cond"][spec.name] = {
+                "t5": convert.convert_t5_encoder(sd, spec.flan_t5, prefix + "model.")
+            }
+        else:
+            from audioldm2_tpu import convert_cond
+
+            params["cond"][spec.name] = convert_cond.convert_conditioner(
+                sd, spec, prefix
+            )
+    return params
+
+
+class AudioLDM2:
+    """Top-level model handle returned by :func:`build_model`."""
+
+    def __init__(self, cfg: ModelConfig, params: Dict):
+        self.cfg = cfg
+        # Move params to the accelerator once — leaving them on the host CPU
+        # backend would re-transfer ~1.4 GB through the TPU tunnel per call.
+        params = jax.device_put(params, jax.devices()[0])
+        self.ldm = LatentDiffusionModel(cfg, params)
+        self.t5_tok = (
+            text_utils.t5_tokenizer()
+            if any(s.kind == "flan_t5" or s.kind == "sequence_gen" for s in cfg.conditioners)
+            else None
+        )
+        self.clap_tok = text_utils.roberta_tokenizer()
+        self.mel = MelSpectrogram(
+            filter_length=cfg.preprocessing.filter_length,
+            hop_length=cfg.preprocessing.hop_length,
+            win_length=cfg.preprocessing.win_length,
+            n_mel_channels=cfg.preprocessing.n_mel_channels,
+            sampling_rate=cfg.preprocessing.sampling_rate,
+            mel_fmin=cfg.preprocessing.mel_fmin,
+            mel_fmax=cfg.preprocessing.mel_fmax,
+        )
+        self.kaldi = KaldiFbank()
+
+    # ------------------------------------------------------------------
+    def make_batch(
+        self,
+        text: str,
+        transcription: str = "",
+        batchsize: int = 1,
+        waveform: Optional[np.ndarray] = None,
+        fbank: Optional[np.ndarray] = None,
+    ) -> Dict:
+        """Host-side analogue of make_batch_for_text_to_audio
+        (reference pipeline.py:82-121): tokenize everything to fixed shapes.
+        """
+        texts = [text] * batchsize
+        batch: Dict = {}
+        if self.t5_tok is not None:
+            ids, mask = self.t5_tok(texts)
+            uids, umask = self.t5_tok([""])
+            batch.update(
+                t5_ids=ids, t5_mask=mask, t5_uncond_ids=uids, t5_uncond_mask=umask
+            )
+        ids, mask = self.clap_tok(texts)
+        uids, umask = self.clap_tok([""])
+        batch.update(
+            clap_ids=ids, clap_mask=mask, clap_uncond_ids=uids, clap_uncond_mask=umask
+        )
+        if transcription:
+            phonemes = text_utils.text_to_phonemes(transcription)
+        else:
+            phonemes = ""
+        batch["phoneme_idx"] = text_utils.phoneme_ids([phonemes] * batchsize)
+        if waveform is not None:
+            batch["ta_kaldi_fbank"] = np.asarray(
+                self.kaldi.normalized(waveform, target_length=1024)
+            )
+        else:
+            batch["ta_kaldi_fbank"] = np.zeros((batchsize, 1024, 128), np.float32)
+        if fbank is not None:
+            batch["fbank"] = fbank.astype(np.float32)
+        return batch
+
+
+def build_model(
+    ckpt_path: Optional[str] = None,
+    config=None,
+    device=None,
+    model_name: str = "audioldm2-full",
+) -> AudioLDM2:
+    """Reference-compatible factory (reference pipeline.py:142-179).
+
+    If ``ckpt_path`` is None or missing, the model is randomly initialized
+    (zero-egress environments have no checkpoints; all structure and
+    performance paths are identical)."""
+    cfg = config if isinstance(config, ModelConfig) else default_audioldm_config(model_name)
+    if ckpt_path is not None and os.path.exists(ckpt_path):
+        params = load_checkpoint_params(ckpt_path, cfg)
+        import jax.numpy as jnp
+
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        if ckpt_path is not None:
+            print(f"WARNING: checkpoint {ckpt_path} not found; using random init")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+    return AudioLDM2(cfg, params)
+
+
+def text_to_audio(
+    model: AudioLDM2,
+    text: str,
+    transcription: str = "",
+    seed: int = 42,
+    ddim_steps: int = 200,
+    duration: float = 10,
+    batchsize: int = 1,
+    guidance_scale: float = 3.5,
+    n_candidate_gen_per_text: int = 3,
+    latent_t_per_second: float = 25.6,
+    config=None,
+) -> np.ndarray:
+    """Reference-compatible generation API (reference pipeline.py:181-211).
+
+    Returns waveform [batchsize, 1, N] float32 in [-1, 1]."""
+    key = seed_everything(seed)
+    batch = model.make_batch(text, transcription=transcription, batchsize=batchsize)
+    latent_t_size = int(duration * model.cfg.latent_t_per_second)
+
+    wav, _ = model.ldm.generate(
+        batch,
+        key,
+        latent_t_size=latent_t_size,
+        n_gen=n_candidate_gen_per_text,
+        guidance=guidance_scale,
+        ddim_steps=ddim_steps,
+    )
+    wav = rerank_and_select(model, wav, text, batchsize, n_candidate_gen_per_text)
+    n_samples = int(duration * model.cfg.preprocessing.sampling_rate)
+    return wav[:, None, :n_samples]
+
+
+def rerank_and_select(
+    model: AudioLDM2, wav: np.ndarray, text: str, batchsize: int, n_gen: int
+) -> np.ndarray:
+    """CLAP cosine-similarity reranking over candidates (reference
+    ddpm.py:1554-1568). Falls back to the first candidate when no reranker
+    weights are present."""
+    if n_gen <= 1:
+        return wav
+    reranker = model.ldm.params.get("reranker_clap")
+    if reranker is None:
+        return wav[:batchsize]
+    from audioldm2_tpu.models import clap as clap_model
+
+    sim = clap_model.cos_similarity_waveform_text(
+        reranker, model.cfg.reranker_clap, wav, text, model.clap_tok,
+        model.cfg.preprocessing.sampling_rate,
+    )
+    best = []
+    for i in range(batchsize):
+        candidates = sim[i::batchsize]
+        best.append(i + int(np.argmax(candidates)) * batchsize)
+    return wav[best]
+
+
+def super_resolution_and_inpainting(
+    model: AudioLDM2,
+    text: str,
+    transcription: str = "",
+    original_audio_file_path: Optional[str] = None,
+    seed: int = 42,
+    ddim_steps: int = 200,
+    duration: float = 10,
+    batchsize: int = 1,
+    guidance_scale: float = 2.5,
+    n_candidate_gen_per_text: int = 3,
+    time_mask_ratio_start_and_end=(0.40, 0.60),
+    freq_mask_ratio_start_and_end=(1.0, 1.0),
+    latent_t_per_second: float = 25.6,
+    config=None,
+) -> np.ndarray:
+    """Reference-compatible SR/inpainting (reference pipeline.py:213-267,
+    ddpm.py:1573-1676): encode the real mel, build the latent time/freq
+    mask, blend q-sampled x0 each DDIM step."""
+    key = seed_everything(seed)
+    sr = model.cfg.preprocessing.sampling_rate
+    # mel frames per second = latent rate x VAE downsampling (= 102.4 for the
+    # 16 kHz family, matching reference pipeline.py:249)
+    target_frames = int(
+        duration * model.cfg.latent_t_per_second * model.cfg.vae.downsample_factor
+    )
+    wav_in = read_wav_file(
+        original_audio_file_path, target_frames * model.cfg.preprocessing.hop_length,
+        target_sr=sr,
+    )
+    fbank = np.asarray(model.mel.fbank(wav_in, target_length=target_frames))  # [1,T,M]
+    mel_in = np.tile(fbank[:, :, :, None], (batchsize, 1, 1, 1))
+
+    batch = model.make_batch(text, transcription=transcription, batchsize=batchsize)
+
+    key, k_enc = jax.random.split(key)
+    z0 = model.ldm.encode_mel(k_enc, mel_in)
+    b, h, w, c = z0.shape
+    mask = np.ones((b, h, w, 1), np.float32)
+    t0, t1 = time_mask_ratio_start_and_end
+    f0, f1 = freq_mask_ratio_start_and_end
+    mask[:, int(h * t0) : int(h * t1), :, :] = 0.0
+    mask[:, :, int(w * f0) : int(w * f1), :] = 0.0
+
+    batch["inpaint_mask"] = mask
+    batch["inpaint_x0"] = np.asarray(z0)
+
+    wav, _ = model.ldm.generate(
+        batch,
+        key,
+        latent_t_size=h,
+        n_gen=n_candidate_gen_per_text,
+        guidance=guidance_scale,
+        ddim_steps=ddim_steps,
+        use_mask=True,
+    )
+    wav = rerank_and_select(model, wav, text, batchsize, n_candidate_gen_per_text)
+    n_samples = int(duration * sr)
+    return wav[:, None, :n_samples]

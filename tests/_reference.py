@@ -34,7 +34,18 @@ def _ensure_module(name, **attrs):
 def install_shims():
     import numpy as np
 
-    _ensure_module("huggingface_hub", hf_hub_download=lambda **kw: None)
+    # transformers must be imported before huggingface_hub is stubbed —
+    # otherwise later `import transformers` sees the stub and fails.
+    try:
+        import transformers  # noqa: F401
+    except Exception:
+        pass
+
+    _ensure_module(
+        "huggingface_hub",
+        hf_hub_download=lambda **kw: None,
+        get_full_repo_name=lambda *a, **k: "",
+    )
     _ensure_module("progressbar", ProgressBar=object)
     _ensure_module("soundfile", write=lambda *a, **k: None)
     _ensure_module("torchaudio")

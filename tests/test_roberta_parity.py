@@ -1,0 +1,61 @@
+"""RoBERTa (CLAP text tower) parity vs HF torch RobertaModel."""
+
+import numpy as np
+import pytest
+
+from audioldm2_tpu import convert
+from audioldm2_tpu.models import roberta as jrob
+
+
+SMALL = jrob.RobertaConfig(
+    vocab_size=120,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=40,
+)
+
+
+def test_roberta_parity(rng):
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=SMALL.vocab_size,
+        hidden_size=SMALL.hidden_size,
+        num_hidden_layers=SMALL.num_layers,
+        num_attention_heads=SMALL.num_heads,
+        intermediate_size=SMALL.intermediate_size,
+        max_position_embeddings=SMALL.max_position_embeddings,
+        type_vocab_size=1,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        pad_token_id=1,
+    )
+    torch.manual_seed(0)
+    ref = transformers.RobertaModel(hf_cfg).eval()
+    params = convert.convert_roberta(
+        convert.state_dict_to_numpy(ref.state_dict()), num_layers=SMALL.num_layers
+    )
+
+    ids = rng.integers(2, SMALL.vocab_size, (2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), np.int32)
+    mask[1, 7:] = 0
+    ids[1, 7:] = 1  # pad token
+
+    with torch.no_grad():
+        out = ref(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        )
+        seq_t = out.last_hidden_state.numpy()
+        pool_t = out.pooler_output.numpy()
+
+    seq_j, pool_j = jrob.apply_roberta(params, SMALL, ids, mask)
+    for b in range(2):
+        n = int(mask[b].sum())
+        np.testing.assert_allclose(
+            np.asarray(seq_j)[b, :n], seq_t[b, :n], atol=2e-4, rtol=1e-3
+        )
+    np.testing.assert_allclose(np.asarray(pool_j), pool_t, atol=2e-4, rtol=1e-3)
