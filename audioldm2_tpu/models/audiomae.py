@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from audioldm2_tpu.config import AudioMAEConfig
 from audioldm2_tpu.ops import nn
@@ -44,8 +45,8 @@ def init_audiomae(key, cfg: AudioMAEConfig):
         )
     return {
         "patch_embed": nn.conv_init(next(keys), cfg.patch_size, cfg.patch_size, 1, d),
-        "cls_token": jnp.zeros((1, 1, d)),
-        "pos_embed": jax.random.normal(next(keys), (1, n_patches + 1, d)) * 0.02,
+        "cls_token": np.zeros((1, 1, d), np.float32),
+        "pos_embed": nn.randn(next(keys), (1, n_patches + 1, d), std=0.02),
         "blocks": blocks,
         "norm": nn.norm_init(d),
     }

@@ -31,7 +31,8 @@ def init_clap(key, cfg: CLAPConfig):
             "lin2": nn.linear_init(k3, cfg.embed_dim, cfg.embed_dim),
         },
         "audio_projection": {
-            "lin1": nn.linear_init(k4, 768, cfg.embed_dim),
+            # HTSAT-base latent embedding is 1024-d (HTSAT-base.json embed_dim)
+            "lin1": nn.linear_init(k4, 1024, cfg.embed_dim),
             "lin2": nn.linear_init(k5, cfg.embed_dim, cfg.embed_dim),
         },
         "logit_scale_a": jnp.asarray(np.log(1 / 0.07), jnp.float32),

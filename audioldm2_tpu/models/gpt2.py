@@ -44,7 +44,7 @@ def init_gpt2(key, cfg: GPT2Config):
             }
         )
     return {
-        "wpe": jax.random.normal(next(keys), (cfg.n_positions, d)) * 0.01,
+        "wpe": nn.randn(next(keys), (cfg.n_positions, d), std=0.01),
         "blocks": blocks,
         "ln_f": nn.norm_init(d),
     }
@@ -86,7 +86,7 @@ def prefill(params, cfg: GPT2Config, embeds, mask, cache_len: int):
     b, L, d = embeds.shape
     h_dim = d // cfg.n_head
     positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
-    x = embeds + params["wpe"][positions]
+    x = embeds + jnp.asarray(params["wpe"])[positions]
 
     causal = jnp.tril(jnp.ones((L, L), jnp.bool_))
     keep = causal[None, None] & mask[:, None, None, :].astype(bool)
@@ -113,7 +113,7 @@ def step(params, cfg: GPT2Config, emb, cache: KVCache, cache_mask, index, positi
     Returns (hidden [B, D], updated cache).
     """
     b, d = emb.shape
-    x = emb[:, None, :] + params["wpe"][position][:, None, :]
+    x = emb[:, None, :] + jnp.asarray(params["wpe"])[position][:, None, :]
 
     ks, vs = cache.k, cache.v
     l_max = ks.shape[2]

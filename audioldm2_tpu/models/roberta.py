@@ -34,7 +34,7 @@ def init_roberta(key, cfg: RobertaConfig):
     d = cfg.hidden_size
 
     def emb(shape):
-        return jax.random.normal(next(keys), shape) * 0.02
+        return nn.randn(next(keys), shape, std=0.02)
 
     layers = []
     for _ in range(cfg.num_layers):
@@ -71,8 +71,8 @@ def apply_roberta(params, cfg: RobertaConfig, input_ids, attention_mask):
     position_ids = incremental + cfg.pad_token_id
 
     x = (
-        params["word_embeddings"][input_ids]
-        + params["position_embeddings"][position_ids]
+        jnp.asarray(params["word_embeddings"])[input_ids]
+        + jnp.asarray(params["position_embeddings"])[position_ids]
         + params["token_type_embeddings"][0]
     )
     x = nn.layer_norm(params["emb_ln"], x, cfg.layer_norm_eps)

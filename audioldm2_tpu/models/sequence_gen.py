@@ -32,8 +32,8 @@ def init_sequence_gen(key, spec: ConditionerSpec):
     sg = spec.sequence_gen
     keys = jax.random.split(key, 4 + len(spec.nested))
     params: Dict = {
-        "sos": jax.random.normal(keys[0], (32, 768)) * 0.02,
-        "eos": jax.random.normal(keys[1], (32, 768)) * 0.02,
+        "sos": nn.randn(keys[0], (32, 768), std=0.02),
+        "eos": nn.randn(keys[1], (32, 768), std=0.02),
         "gpt2": gpt2.init_gpt2(keys[2], sg.gpt2),
         "input_linears": [],
         "cond": {},

@@ -54,14 +54,14 @@ def init_t5_encoder(key, cfg: FlanT5Config):
     blocks = []
     for i in range(cfg.num_layers):
         blk = {
-            "ln1": {"scale": jnp.ones((cfg.d_model,))},
+            "ln1": {"scale": np.ones((cfg.d_model,), np.float32)},
             "attn": {
                 "q": nn.linear_init(next(keys), cfg.d_model, inner, bias=False),
                 "k": nn.linear_init(next(keys), cfg.d_model, inner, bias=False),
                 "v": nn.linear_init(next(keys), cfg.d_model, inner, bias=False),
                 "o": nn.linear_init(next(keys), inner, cfg.d_model, bias=False),
             },
-            "ln2": {"scale": jnp.ones((cfg.d_model,))},
+            "ln2": {"scale": np.ones((cfg.d_model,), np.float32)},
             "ff": {
                 "wi_0": nn.linear_init(next(keys), cfg.d_model, cfg.d_ff, bias=False),
                 "wi_1": nn.linear_init(next(keys), cfg.d_model, cfg.d_ff, bias=False),
@@ -69,17 +69,14 @@ def init_t5_encoder(key, cfg: FlanT5Config):
             },
         }
         if i == 0:
-            blk["rel_bias"] = (
-                jax.random.normal(
-                    next(keys), (cfg.relative_attention_num_buckets, cfg.num_heads)
-                )
-                * 0.1
+            blk["rel_bias"] = nn.randn(
+                next(keys), (cfg.relative_attention_num_buckets, cfg.num_heads), std=0.1
             )
         blocks.append(blk)
     return {
-        "token_embed": jax.random.normal(next(keys), (cfg.vocab_size, cfg.d_model)),
+        "token_embed": nn.randn(next(keys), (cfg.vocab_size, cfg.d_model)),
         "blocks": blocks,
-        "final_ln": {"scale": jnp.ones((cfg.d_model,))},
+        "final_ln": {"scale": np.ones((cfg.d_model,), np.float32)},
     }
 
 
@@ -96,12 +93,12 @@ def apply_t5_encoder(params, cfg: FlanT5Config, input_ids, attention_mask):
     """input_ids: [B, L] int32; attention_mask: [B, L] (1 = token).
 
     Returns [B, L, d_model] final hidden states (post final RMSNorm)."""
-    x = params["token_embed"][input_ids]
+    x = jnp.asarray(params["token_embed"])[input_ids]
 
     # shared relative-position bias from block 0, static for fixed L
     L = input_ids.shape[1]
     buckets = jnp.asarray(position_bias_table_index(L, L, cfg))  # [L, L]
-    table = params["blocks"][0]["rel_bias"]  # [num_buckets, H]
+    table = jnp.asarray(params["blocks"][0]["rel_bias"])  # [num_buckets, H]
     position_bias = jnp.transpose(table[buckets], (2, 0, 1))[None]  # [1, H, L, L]
 
     for blk in params["blocks"]:

@@ -35,11 +35,12 @@ def init_vocoder(key, cfg: VocoderConfig):
         cin = ch0 // (2**i)
         cout = ch0 // (2 ** (i + 1))
         # ConvTranspose1d weights stored [k, O, I]
-        kk = next(keys)
+        import numpy as np
+
         ups.append(
             {
-                "w": jax.random.normal(kk, (k, cout, cin)) * 0.01,
-                "b": jnp.zeros((cout,)),
+                "w": nn.randn(next(keys), (k, cout, cin), std=0.01),
+                "b": np.zeros((cout,), np.float32),
             }
         )
         for ks, dils in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):

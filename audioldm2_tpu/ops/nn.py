@@ -23,17 +23,31 @@ import numpy as np
 
 # ---------------------------------------------------------------------------
 # Initializers (torch-default-shaped; exact parity comes from loaded weights)
+#
+# Init is pure numpy driven by the key's raw data: creating hundreds of
+# parameters as individual device ops is pathologically slow on a remote TPU
+# runtime (each tiny op is a fresh compile + dispatch). The tree is uploaded
+# in one transfer by the first jitted call.
 # ---------------------------------------------------------------------------
+
+
+def _np_rng(key) -> np.random.Generator:
+    data = key if getattr(key, "dtype", None) == jnp.uint32 else jax.random.key_data(key)
+    return np.random.default_rng(np.asarray(data, dtype=np.uint32))
+
+
+def randn(key, shape, std: float = 1.0) -> np.ndarray:
+    return (_np_rng(key).standard_normal(shape) * std).astype(np.float32)
 
 
 def _kaiming_uniform(key, shape, fan_in):
     bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
-    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+    return _np_rng(key).uniform(-bound, bound, shape).astype(np.float32)
 
 
 def conv_init(key, kh, kw, cin, cout, zero=False):
     if zero:
-        return {"w": jnp.zeros((kh, kw, cin, cout)), "b": jnp.zeros((cout,))}
+        return {"w": np.zeros((kh, kw, cin, cout), np.float32), "b": np.zeros((cout,), np.float32)}
     k1, k2 = jax.random.split(key)
     fan_in = kh * kw * cin
     return {
@@ -44,7 +58,7 @@ def conv_init(key, kh, kw, cin, cout, zero=False):
 
 def conv1d_init(key, k, cin, cout, zero=False):
     if zero:
-        return {"w": jnp.zeros((k, cin, cout)), "b": jnp.zeros((cout,))}
+        return {"w": np.zeros((k, cin, cout), np.float32), "b": np.zeros((cout,), np.float32)}
     k1, k2 = jax.random.split(key)
     fan_in = k * cin
     return {
@@ -55,9 +69,9 @@ def conv1d_init(key, k, cin, cout, zero=False):
 
 def linear_init(key, cin, cout, zero=False, bias=True):
     if zero:
-        p = {"w": jnp.zeros((cin, cout))}
+        p = {"w": np.zeros((cin, cout), np.float32)}
         if bias:
-            p["b"] = jnp.zeros((cout,))
+            p["b"] = np.zeros((cout,), np.float32)
         return p
     k1, k2 = jax.random.split(key)
     p = {"w": _kaiming_uniform(k1, (cin, cout), cin)}
@@ -67,7 +81,7 @@ def linear_init(key, cin, cout, zero=False, bias=True):
 
 
 def norm_init(channels):
-    return {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))}
+    return {"scale": np.ones((channels,), np.float32), "bias": np.zeros((channels,), np.float32)}
 
 
 # ---------------------------------------------------------------------------

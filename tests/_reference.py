@@ -76,10 +76,85 @@ def install_shims():
     _ensure_module("timm.models")
     _ensure_module("timm.models.layers", to_2tuple=lambda x: (x, x) if not isinstance(x, tuple) else x, DropPath=object, trunc_normal_=lambda *a, **k: None)
     _ensure_module("phonemizer", phonemize=lambda *a, **k: "")
+    try:
+        import torch
+
+        _ensure_module("torchvision")
+        _ensure_module("torchvision.ops")
+        _ensure_module(
+            "torchvision.ops.misc", FrozenBatchNorm2d=torch.nn.BatchNorm2d
+        )
+        _ensure_module("torchvision.utils", make_grid=lambda *a, **k: None)
+        _id = lambda *a, **k: (lambda x: x)
+        _ensure_module(
+            "torchvision.transforms",
+            Normalize=_id, Compose=_id, ToTensor=_id, Resize=_id,
+            RandomResizedCrop=_id, RandomHorizontalFlip=_id, ColorJitter=_id,
+            CenterCrop=_id, InterpolationMode=type("IM", (), {"BICUBIC": 3}),
+        )
+    except ImportError:
+        pass
     _ensure_module("unidecode", unidecode=lambda s: s)
-    _ensure_module("torchlibrosa")
-    _ensure_module("torchlibrosa.stft", Spectrogram=object, LogmelFilterBank=object)
-    _ensure_module("torchlibrosa.augmentation", SpecAugmentation=object)
+    _ensure_module("ftfy", fix_text=lambda s: s)
+    _ensure_module("regex", compile=__import__("re").compile, sub=__import__("re").sub)
+    # Functional mini-torchlibrosa: the reference HTSAT constructs these in
+    # __init__ and calls them on the eval path, so object stubs won't do.
+    try:
+        import torch
+
+        class _Spectrogram(torch.nn.Module):
+            def __init__(self, n_fft, hop_length, win_length, window="hann",
+                         center=True, pad_mode="reflect", freeze_parameters=True,
+                         power=2.0, **kw):
+                super().__init__()
+                self.n_fft, self.hop = n_fft, hop_length
+                self.win = torch.hann_window(win_length)
+                self.power = power
+
+            def forward(self, x):
+                spec = torch.stft(
+                    x, self.n_fft, hop_length=self.hop, win_length=len(self.win),
+                    window=self.win, center=True, pad_mode="reflect",
+                    return_complex=True,
+                )
+                mag = spec.abs() ** self.power  # [B, F, T]
+                return mag.transpose(1, 2).unsqueeze(1)  # [B, 1, T, F]
+
+        class _LogmelFilterBank(torch.nn.Module):
+            def __init__(self, sr, n_fft, n_mels, fmin, fmax, ref=1.0,
+                         amin=1e-10, top_db=None, freeze_parameters=True, **kw):
+                super().__init__()
+                from audioldm2_tpu.ops.stft import librosa_mel_filters
+
+                self.mel = torch.from_numpy(
+                    librosa_mel_filters(sr, n_fft, n_mels, fmin, fmax)
+                )
+                self.amin, self.ref, self.top_db = amin, ref, top_db
+
+            def forward(self, x):
+                mel = torch.matmul(x, self.mel.T)
+                db = 10.0 * torch.log10(torch.clamp(mel, min=self.amin))
+                db -= 10.0 * np.log10(np.maximum(self.amin, self.ref))
+                return db
+
+        class _SpecAugmentation(torch.nn.Module):
+            def __init__(self, **kw):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        _ensure_module("torchlibrosa")
+        _ensure_module(
+            "torchlibrosa.stft",
+            Spectrogram=_Spectrogram,
+            LogmelFilterBank=_LogmelFilterBank,
+        )
+        _ensure_module("torchlibrosa.augmentation", SpecAugmentation=_SpecAugmentation)
+    except ImportError:
+        _ensure_module("torchlibrosa")
+        _ensure_module("torchlibrosa.stft", Spectrogram=object, LogmelFilterBank=object)
+        _ensure_module("torchlibrosa.augmentation", SpecAugmentation=object)
 
 
 def load(module_name):
