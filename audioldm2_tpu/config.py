@@ -293,6 +293,10 @@ class DiffusionConfig:
 @dataclass(frozen=True)
 class ModelConfig:
     name: str = "audioldm2-full"
+    # Compute dtype for the hot path (UNet/VAE/vocoder). bfloat16 maps convs
+    # and matmuls onto the MXU at full rate (fp32 runs at ~1/4 on v5e);
+    # normalizations and sampler math always stay float32.
+    compute_dtype: str = "bfloat16"
     preprocessing: PreprocessingConfig = field(default_factory=PreprocessingConfig)
     vae: VAEConfig = field(default_factory=VAEConfig)
     vocoder: VocoderConfig = field(default_factory=lambda: VOCODER_16K)

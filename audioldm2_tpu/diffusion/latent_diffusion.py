@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audioldm2_tpu.config import ModelConfig
-from audioldm2_tpu.diffusion import ddim
+from audioldm2_tpu.diffusion import ddim, plms
 from audioldm2_tpu.diffusion.schedule import DiffusionSchedule
 from audioldm2_tpu.models import conditioners, unet, vae, vocoder
 
@@ -113,36 +113,57 @@ def _generate_impl(
     ddim_steps: int,
     ddim_eta: float,
     use_mask: bool,
+    use_plms: bool = False,
 ):
     (y, contexts, masks), bsz, cfg_on = encode_conditioning(
         params, cfg, batch, n_gen, guidance
     )
     shape = (bsz, latent_t_size, cfg.latent_f_size, cfg.latent_channels)
 
-    def model_fn(x, t):
-        return unet.apply_unet(
-            params["unet"], cfg.unet, x, t,
-            context_list=contexts, context_mask_list=masks, y=y,
+    cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def cast_tree(tree):
+        return jax.tree.map(
+            lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a, tree
         )
+
+    unet_p = cast_tree(params["unet"])
+    contexts_c = [c.astype(cdtype) for c in contexts]
+    y_c = y.astype(cdtype) if y is not None else None
+
+    def model_fn(x, t):
+        eps = unet.apply_unet(
+            unet_p, cfg.unet, x.astype(cdtype), t,
+            context_list=contexts_c, context_mask_list=masks, y=y_c,
+        )
+        return eps.astype(jnp.float32)
 
     if cfg_on:
         eps_fn = ddim.cfg_eps_fn(model_fn, guidance)
     else:
         eps_fn = model_fn
 
+    assert not (use_plms and use_mask), (
+        "PLMS does not support mask inpainting (reference parity)"
+    )
     mask = x0 = None
     if use_mask:
         mask = _tile(batch["inpaint_mask"], n_gen)
         x0 = _tile(batch["inpaint_x0"], n_gen)
 
-    z = ddim.ddim_sample(
-        eps_fn, key, shape, schedule,
-        num_steps=ddim_steps, eta=ddim_eta, mask=mask, x0=x0,
-    )
+    if use_plms:
+        z = plms.plms_sample(eps_fn, key, shape, schedule, num_steps=ddim_steps)
+    else:
+        z = ddim.ddim_sample(
+            eps_fn, key, shape, schedule,
+            num_steps=ddim_steps, eta=ddim_eta, mask=mask, x0=x0,
+        )
     z = z / params["scale_factor"]
-    mel = vae.decode(params["vae"], cfg.vae, z)
-    wav = vocoder.apply_vocoder(params["vocoder"], cfg.vocoder, mel[..., 0])
-    return wav, mel
+    mel = vae.decode(cast_tree(params["vae"]), cfg.vae, z.astype(cdtype))
+    wav = vocoder.apply_vocoder(
+        cast_tree(params["vocoder"]), cfg.vocoder, mel[..., 0]
+    )
+    return wav.astype(jnp.float32), mel.astype(jnp.float32)
 
 
 class LatentDiffusionModel:
@@ -161,7 +182,7 @@ class LatentDiffusionModel:
             functools.partial(_generate_impl, cfg=cfg, schedule=self.schedule),
             static_argnames=(
                 "latent_t_size", "n_gen", "guidance", "ddim_steps", "ddim_eta",
-                "use_mask",
+                "use_mask", "use_plms",
             ),
         )
 
@@ -181,6 +202,7 @@ class LatentDiffusionModel:
         ddim_steps: int = 200,
         ddim_eta: float = 1.0,
         use_mask: bool = False,
+        use_plms: bool = False,
     ):
         """Returns (waveform [B*n_gen, N] np.float32, mel)."""
         wav, mel = self._generate_jit(
@@ -193,5 +215,6 @@ class LatentDiffusionModel:
             ddim_steps=int(ddim_steps),
             ddim_eta=float(ddim_eta),
             use_mask=use_mask,
+            use_plms=use_plms,
         )
         return np.asarray(wav), np.asarray(mel)

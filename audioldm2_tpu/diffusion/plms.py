@@ -1,0 +1,87 @@
+"""PLMS (pseudo linear multi-step) sampler as a single `lax.scan`.
+
+Re-design of the reference PLMSSampler (reference
+``latent_diffusion/models/plms.py:14-360``): Adams-Bashforth multistep up to
+4th order over eps predictions (plms.py:340-358), with the first step using
+the pseudo-improved-Euler double evaluation. eta must be 0 (reference
+asserts). CFG is batched exactly like the reference PLMS already does
+(plms.py:288-292).
+
+The multistep buffer lives in the scan carry as a fixed [3, ...] ring; the
+order ramps 1 -> 2 -> 3 -> 4 via `lax.switch` on the step counter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from audioldm2_tpu.diffusion.ddim import EpsFn
+from audioldm2_tpu.diffusion.schedule import DiffusionSchedule, make_ddim_params
+
+
+def plms_sample(
+    eps_fn: EpsFn,
+    key: jax.Array,
+    shape,
+    schedule: DiffusionSchedule,
+    num_steps: int = 200,
+    x_T: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    ts, alphas, alphas_prev, _ = make_ddim_params(schedule, num_steps, eta=0.0)
+    n = len(ts)
+    ts_r = jnp.asarray(ts[::-1].copy())
+    al_r = jnp.asarray(alphas[::-1].copy())
+    ap_r = jnp.asarray(alphas_prev[::-1].copy())
+    # t_next for each step = the following (smaller) timestep; last -> 0
+    ts_next_r = jnp.concatenate([ts_r[1:], jnp.zeros((1,), jnp.int32)])
+
+    img = x_T if x_T is not None else jax.random.normal(key, shape, dtype)
+    b = shape[0]
+
+    def x_prev_from_eps(x, e_t, a_t, a_prev):
+        pred_x0 = (x - jnp.sqrt(1.0 - a_t) * e_t) / jnp.sqrt(a_t)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev, 0.0)) * e_t
+        return jnp.sqrt(a_prev) * pred_x0 + dir_xt
+
+    def body(carry, per_step):
+        img, old_eps, count = carry
+        t, t_next, a_t, a_prev = per_step
+
+        tb = jnp.full((b,), t, jnp.int32)
+        e_t = eps_fn(img, tb)
+
+        def order1(_):
+            # pseudo improved Euler: evaluate at x_prev with t_next
+            x_prev1 = x_prev_from_eps(img, e_t, a_t, a_prev)
+            e_t_next = eps_fn(x_prev1, jnp.full((b,), t_next, jnp.int32))
+            return (e_t + e_t_next) / 2.0
+
+        def order2(_):
+            return (3.0 * e_t - old_eps[2]) / 2.0
+
+        def order3(_):
+            return (23.0 * e_t - 16.0 * old_eps[2] + 5.0 * old_eps[1]) / 12.0
+
+        def order4(_):
+            return (
+                55.0 * e_t - 59.0 * old_eps[2] + 37.0 * old_eps[1] - 9.0 * old_eps[0]
+            ) / 24.0
+
+        e_t_prime = jax.lax.switch(
+            jnp.minimum(count, 3), [order1, order2, order3, order4], None
+        )
+
+        img = x_prev_from_eps(img, e_t_prime, a_t, a_prev)
+        # ring-push e_t (most recent at index 2)
+        old_eps = jnp.concatenate([old_eps[1:], e_t[None]], axis=0)
+        return (img, old_eps, count + 1), None
+
+    old_eps0 = jnp.zeros((3,) + tuple(shape), dtype)
+    (img, _, _), _ = jax.lax.scan(
+        body, (img, old_eps0, jnp.int32(0)), (ts_r, ts_next_r, al_r, ap_r)
+    )
+    return img

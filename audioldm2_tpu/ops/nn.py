@@ -218,6 +218,20 @@ def avg_pool_2d(x, window: Tuple[int, int], stride: Tuple[int, int]):
     ) / (window[0] * window[1])
 
 
+# None = auto (TPU only); True/False force. Set False in numerics tests to
+# compare the pure-jnp path.
+USE_PALLAS_ATTENTION = None
+
+
+def _pallas_attention_enabled() -> bool:
+    if USE_PALLAS_ATTENTION is not None:
+        return USE_PALLAS_ATTENTION
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -232,9 +246,18 @@ def attention(
     broadcastable additive-bias-shaped boolean [B, H, Tq, Tk];
     bias: additive [B|1, H|1, Tq, Tk]. Softmax in float32 (reference
     attention.py:354-363 does fp32 masked softmax).
+
+    Unmasked self-attention at kernel-friendly sizes dispatches to the
+    fused Pallas kernel on TPU (no [T, T] logits in HBM).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+
+    if _pallas_attention_enabled() and mask is None and bias is None:
+        from audioldm2_tpu.ops import attention_pallas
+
+        if attention_pallas.supported(q, k, mask, bias):
+            return attention_pallas.fused_self_attention(q, k, v, float(scale))
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale

@@ -21,6 +21,7 @@ def tiny_t5_model_config() -> ModelConfig:
     """Miniature analogue of audioldm_16k_crossattn_t5."""
     return ModelConfig(
         name="tiny-t5",
+        compute_dtype="float32",
         preprocessing=PreprocessingConfig(
             sampling_rate=1600,
             filter_length=64,
