@@ -130,11 +130,15 @@ def _generate_impl(
     unet_p = cast_tree(params["unet"])
     contexts_c = [c.astype(cdtype) for c in contexts]
     y_c = y.astype(cdtype) if y is not None else None
+    # Cross-attention K/V depend only on the contexts: compute once, outside
+    # the sampling scan (kills per-step relayout copies of hoisted values).
+    cross_kv = unet.precompute_cross_kv(unet_p, cfg.unet, contexts_c)
 
     def model_fn(x, t):
         eps = unet.apply_unet(
             unet_p, cfg.unet, x.astype(cdtype), t,
             context_list=contexts_c, context_mask_list=masks, y=y_c,
+            cross_kv=cross_kv,
         )
         return eps.astype(jnp.float32)
 

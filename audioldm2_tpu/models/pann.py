@@ -1,0 +1,110 @@
+"""PANN CNN14 audio encoder — functional JAX.
+
+Alternative CLAP audio tower (config-selectable, not used by the shipped
+checkpoints; reference ``clap/open_clip/pann_model.py:167-440``): a 6-stage
+VGG-style conv stack (64->2048 channels, 2x2 avg-pool per stage) over the
+same torchlibrosa-style log-mel frontend, then (max+mean over time) ->
+fc1 -> embedding. BatchNorms run with stored running stats (eval mode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioldm2_tpu.ops import nn
+from audioldm2_tpu.ops import stft as stft_ops
+
+
+@dataclass(frozen=True)
+class PANNConfig:
+    sample_rate: int = 48000
+    window_size: int = 1024
+    hop_size: int = 480
+    mel_bins: int = 64
+    fmin: float = 50.0
+    fmax: float = 14000.0
+    embed_dim: int = 2048
+    num_classes: int = 527
+
+
+CHANNELS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _bn_init(c):
+    return {
+        "scale": np.ones((c,), np.float32),
+        "bias": np.zeros((c,), np.float32),
+        "mean": np.zeros((c,), np.float32),
+        "var": np.ones((c,), np.float32),
+    }
+
+
+def _bn(p, x, eps=1e-5):
+    return (x - p["mean"]) * jax.lax.rsqrt(p["var"] + eps) * p["scale"] + p["bias"]
+
+
+def init_pann(key, cfg: PANNConfig = PANNConfig()):
+    keys = iter(jax.random.split(key, 32))
+    blocks = []
+    cin = 1
+    for cout in CHANNELS:
+        conv1 = nn.conv_init(next(keys), 3, 3, cin, cout)
+        conv2 = nn.conv_init(next(keys), 3, 3, cout, cout)
+        del conv1["b"], conv2["b"]  # torch convs are bias-free here
+        blocks.append(
+            {"conv1": conv1, "bn1": _bn_init(cout), "conv2": conv2, "bn2": _bn_init(cout)}
+        )
+        cin = cout
+    return {
+        "bn0": _bn_init(cfg.mel_bins),
+        "blocks": blocks,
+        "fc1": nn.linear_init(next(keys), CHANNELS[-1], cfg.embed_dim),
+        "fc_audioset": nn.linear_init(next(keys), cfg.embed_dim, cfg.num_classes),
+    }
+
+
+def _conv_nobias(p, x):
+    return jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _conv_block(p, x, pool):
+    x = jax.nn.relu(_bn(p["bn1"], _conv_nobias(p["conv1"], x)))
+    x = jax.nn.relu(_bn(p["bn2"], _conv_nobias(p["conv2"], x)))
+    if pool > 1:
+        x = nn.avg_pool_2d(x, (pool, pool), (pool, pool))
+    return x
+
+
+def encode(params, wav, cfg: PANNConfig = PANNConfig()):
+    """waveform [B, N] -> dict(embedding [B, 2048], clipwise_output)."""
+    basis = jnp.asarray(stft_ops.stft_basis(cfg.window_size, cfg.window_size))
+    mag = stft_ops.stft_magnitude(wav, basis, cfg.window_size, cfg.hop_size)
+    power = jnp.square(mag)
+    mel_fb = jnp.asarray(
+        stft_ops.librosa_mel_filters(
+            cfg.sample_rate, cfg.window_size, cfg.mel_bins, cfg.fmin, cfg.fmax
+        )
+    )
+    mel = jnp.einsum("mf,bft->btm", mel_fb, power, preferred_element_type=jnp.float32)
+    x = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    x = _bn(params["bn0"], x)  # per-mel-bin batchnorm (pann_model.py:289-291)
+    x = x[..., None]  # [B, T, M, 1]
+
+    for i, blk in enumerate(params["blocks"]):
+        x = _conv_block(blk, x, pool=2 if i < 5 else 1)
+
+    x = jnp.mean(x, axis=2)  # mean over mel axis -> [B, T', C]
+    x1 = jnp.max(x, axis=1)
+    x2 = jnp.mean(x, axis=1)
+    x = x1 + x2
+    emb = jax.nn.relu(nn.linear(params["fc1"], x))
+    clip = jax.nn.sigmoid(nn.linear(params["fc_audioset"], emb))
+    return {"embedding": emb, "clipwise_output": clip}

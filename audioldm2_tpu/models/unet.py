@@ -171,12 +171,15 @@ def _resblock(p, x, emb):
     return skip + h
 
 
-def _cross_attention(p, x, context, mask, num_heads):
+def _cross_attention(p, x, context, mask, num_heads, kv=None):
     q = nn.split_heads(nn.linear(p["to_q"], x), num_heads)
-    src = context if context is not None else x
-    k = nn.split_heads(nn.linear(p["to_k"], src), num_heads)
-    v = nn.split_heads(nn.linear(p["to_v"], src), num_heads)
-    out = nn.attention(q, k, v, mask=mask if context is not None else None)
+    if kv is not None:
+        k, v = kv
+    else:
+        src = context if context is not None else x
+        k = nn.split_heads(nn.linear(p["to_k"], src), num_heads)
+        v = nn.split_heads(nn.linear(p["to_v"], src), num_heads)
+    out = nn.attention(q, k, v, mask=mask if (context is not None or kv is not None) else None)
     return nn.linear(p["to_out"], nn.merge_heads(out))
 
 
@@ -187,33 +190,73 @@ def _geglu_ff(p, x):
     return nn.linear(p["proj_out"], h)
 
 
-def _st_block(p, x, context, mask, num_heads):
+def _st_block(p, x, context, mask, num_heads, kv=None):
     x = x + _cross_attention(p["attn1"], nn.layer_norm(p["norm1"], x, LN_EPS), None, None, num_heads)
-    x = x + _cross_attention(p["attn2"], nn.layer_norm(p["norm2"], x, LN_EPS), context, mask, num_heads)
+    x = x + _cross_attention(p["attn2"], nn.layer_norm(p["norm2"], x, LN_EPS), context, mask, num_heads, kv=kv)
     x = x + _geglu_ff(p["ff"], nn.layer_norm(p["norm3"], x, LN_EPS))
     return x
 
 
-def _spatial_transformer(p, x, context, mask, num_heads):
+def _spatial_transformer(p, x, context, mask, num_heads, kvs=None):
     b, t, f, c = x.shape
     h = nn.group_norm(p["norm"], x, eps=GN_EPS_ST)
     h = nn.conv2d(p["proj_in"], h)
     h = h.reshape(b, t * f, c)
-    for blk in p["blocks"]:
-        h = _st_block(blk, h, context, mask, num_heads)
+    for d, blk in enumerate(p["blocks"]):
+        kv = kvs[d] if kvs is not None else None
+        h = _st_block(blk, h, context, mask, num_heads, kv=kv)
     h = h.reshape(b, t, f, c)
     h = nn.conv2d(p["proj_out"], h)
     return x + h
 
 
-def _run_sts(blk, h, contexts, masks, cfg: UNetConfig):
+def _run_sts(blk, h, contexts, masks, cfg: UNetConfig, kv_iter=None):
     num_heads = h.shape[-1] // cfg.num_head_channels
     h = _spatial_transformer(blk["self_st"], h, None, None, num_heads)
     for i, st in enumerate(blk["cross_sts"]):
         ctx = contexts[i] if i < len(contexts) else None
         msk = masks[i] if i < len(masks) else None
-        h = _spatial_transformer(st, h, ctx, msk, num_heads)
+        kvs = next(kv_iter) if kv_iter is not None else None
+        if kvs is not None and ctx is None:
+            kvs = None  # self-attention slot: no precomputed KV applies
+        h = _spatial_transformer(st, h, ctx, msk, num_heads, kvs=kvs)
     return h
+
+
+def precompute_cross_kv(params, cfg: UNetConfig, context_list):
+    """Cross-attention K/V projections depend only on the (loop-invariant)
+    contexts; computing them once outside the DDIM scan removes ~30 hoisted
+    matmuls' worth of per-step relayout copies from the loop body.
+
+    Returns a flat list (one entry per cross-ST instance in walk order) of
+    per-depth-block [(k, v)] lists, or None entries for context-free slots.
+    """
+    out = []
+
+    def add(blk):
+        num_heads_local = None
+        for i, st in enumerate(blk["cross_sts"]):
+            ctx = context_list[i] if i < len(context_list) else None
+            if ctx is None:
+                out.append(None)
+                continue
+            per_depth = []
+            for sub in st["blocks"]:
+                inner = sub["attn2"]["to_k"]["w"].shape[1]
+                heads = inner // cfg.num_head_channels
+                k = nn.split_heads(nn.linear(sub["attn2"]["to_k"], ctx), heads)
+                v = nn.split_heads(nn.linear(sub["attn2"]["to_v"], ctx), heads)
+                per_depth.append((k, v))
+            out.append(per_depth)
+
+    for blk in params["input_blocks"]:
+        if "self_st" in blk:
+            add(blk)
+    add(params["middle_block"])
+    for blk in params["output_blocks"]:
+        if "self_st" in blk:
+            add(blk)
+    return out
 
 
 def apply_unet(
@@ -224,15 +267,20 @@ def apply_unet(
     context_list: Sequence[Optional[jnp.ndarray]] = (),
     context_mask_list: Sequence[Optional[jnp.ndarray]] = (),
     y: Optional[jnp.ndarray] = None,
+    cross_kv=None,
 ) -> jnp.ndarray:
     """x: [B, T, F, C]; timesteps: [B]; context_list[i]: [B, L_i, D_i];
-    context_mask_list[i]: [B, L_i] (1 = attend); y: [B, film_dim]."""
+    context_mask_list[i]: [B, L_i] (1 = attend); y: [B, film_dim];
+    cross_kv: optional output of :func:`precompute_cross_kv` (still pass
+    context_list for the slot/mask structure)."""
     t_emb = nn.timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
     emb = nn.linear(params["time_embed"]["lin1"], t_emb)
     emb = nn.linear(params["time_embed"]["lin2"], nn.silu(emb))
     if cfg.extra_film_condition_dim is not None:
         assert y is not None, "film-conditioned UNet requires y"
         emb = jnp.concatenate([emb, nn.linear(params["film_emb"], y)], axis=-1)
+
+    kv_iter = iter(cross_kv) if cross_kv is not None else None
 
     hs = []
     h = x
@@ -244,19 +292,19 @@ def apply_unet(
         else:
             h = _resblock(blk["res"], h, emb)
             if "self_st" in blk:
-                h = _run_sts(blk, h, context_list, context_mask_list, cfg)
+                h = _run_sts(blk, h, context_list, context_mask_list, cfg, kv_iter)
         hs.append(h)
 
     mid = params["middle_block"]
     h = _resblock(mid["res1"], h, emb)
-    h = _run_sts(mid, h, context_list, context_mask_list, cfg)
+    h = _run_sts(mid, h, context_list, context_mask_list, cfg, kv_iter)
     h = _resblock(mid["res2"], h, emb)
 
     for blk in params["output_blocks"]:
         h = jnp.concatenate([h, hs.pop()], axis=-1)
         h = _resblock(blk["res"], h, emb)
         if "self_st" in blk:
-            h = _run_sts(blk, h, context_list, context_mask_list, cfg)
+            h = _run_sts(blk, h, context_list, context_mask_list, cfg, kv_iter)
         if "upsample" in blk:
             h = nn.nearest_upsample_2d(h)
             h = nn.conv2d(blk["upsample"], h)

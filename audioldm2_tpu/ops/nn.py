@@ -218,9 +218,11 @@ def avg_pool_2d(x, window: Tuple[int, int], stride: Tuple[int, int]):
     ) / (window[0] * window[1])
 
 
-# None = auto (TPU only); True/False force. Set False in numerics tests to
-# compare the pure-jnp path.
-USE_PALLAS_ATTENTION = None
+# Default False: profiling showed XLA's fused attention beats the Pallas
+# kernel at this model's shapes (T <= 1024, D = 32 — the narrow head dim
+# wastes lanes in the hand-written kernel). The kernel stays available for
+# larger-geometry configs; flip to True/None (auto on TPU) to use it.
+USE_PALLAS_ATTENTION = False
 
 
 def _pallas_attention_enabled() -> bool:

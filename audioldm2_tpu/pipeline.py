@@ -26,6 +26,20 @@ from audioldm2_tpu.utils import text as text_utils
 from audioldm2_tpu.utils.audio_io import read_wav_file, save_wave, text_to_filename
 
 
+def _t5_max_length(cfg: ModelConfig) -> int:
+    """T5 tokenization length from the config (nested specs included)."""
+    def walk(specs):
+        for s in specs:
+            if s.kind == "flan_t5" and s.flan_t5 is not None:
+                return s.flan_t5.max_length
+            got = walk(s.nested)
+            if got:
+                return got
+        return None
+
+    return walk(cfg.conditioners) or 128
+
+
 def seed_everything(seed: int):
     """The JAX analogue of the reference's global RNG seeding
     (reference pipeline.py:20-31): we return a threefry key; all device
@@ -105,7 +119,7 @@ class AudioLDM2:
         params = jax.device_put(params, jax.devices()[0])
         self.ldm = LatentDiffusionModel(cfg, params)
         self.t5_tok = (
-            text_utils.t5_tokenizer()
+            text_utils.t5_tokenizer(_t5_max_length(cfg))
             if any(s.kind == "flan_t5" or s.kind == "sequence_gen" for s in cfg.conditioners)
             else None
         )

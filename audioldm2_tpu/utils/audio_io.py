@@ -29,6 +29,13 @@ def _to_float(data: np.ndarray) -> np.ndarray:
 def resample(waveform: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if orig_sr == target_sr:
         return waveform
+    try:
+        from audioldm2_tpu.utils import native
+
+        if native.available():
+            return native.resample(waveform, orig_sr, target_sr)
+    except Exception:
+        pass
     frac = Fraction(target_sr, orig_sr)
     return resample_poly(waveform, frac.numerator, frac.denominator, axis=-1).astype(
         np.float32

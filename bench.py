@@ -26,39 +26,47 @@ def main():
 
     duration = 10.0
     steps = 200
-    kwargs = dict(
-        ddim_steps=steps,
-        duration=duration,
-        batchsize=1,
-        guidance_scale=3.5,
-        n_candidate_gen_per_text=1,
-    )
 
-    # warmup: trace + compile + first run
-    t0 = time.time()
-    pipeline.text_to_audio(model, "a dog barking in the rain", seed=1, **kwargs)
-    warmup = time.time() - t0
-
-    # timed runs (different seeds so nothing is cached)
-    times = []
-    for seed in (2, 3, 4):
+    def run(batchsize, seed):
         t0 = time.time()
-        wav = pipeline.text_to_audio(model, "a dog barking in the rain", seed=seed, **kwargs)
-        times.append(time.time() - t0)
-    best = min(times)
+        pipeline.text_to_audio(
+            model,
+            "a dog barking in the rain",
+            seed=seed,
+            ddim_steps=steps,
+            duration=duration,
+            batchsize=batchsize,
+            guidance_scale=3.5,
+            n_candidate_gen_per_text=1,
+        )
+        return time.time() - t0
 
-    value = duration / best
+    # single-clip latency (p50 over 3 runs after compile)
+    t0 = time.time()
+    run(1, seed=1)
+    warmup_lat = time.time() - t0
+    lat_runs = sorted(run(1, seed=s) for s in (2, 3, 4))
+    p50_latency = lat_runs[1]
+
+    # batched serving throughput: 4 prompts per program (CFG batch 8)
+    t0 = time.time()
+    run(4, seed=1)
+    warmup_thr = time.time() - t0
+    thr_runs = sorted(run(4, seed=s) for s in (2, 3, 4))
+    throughput = 4 * duration / thr_runs[1]
+
     print(
         json.dumps(
             {
-                "metric": "seconds-of-audio/sec/chip (10s clip, 200 DDIM steps, CFG)",
-                "value": round(value, 3),
-                "unit": "x realtime",
-                "vs_baseline": round(value / 10.0, 3),
+                "metric": "seconds-of-audio/sec/chip (10s clips, 200 DDIM steps, CFG, batch=4)",
+                "value": round(throughput, 3),
+                "unit": "seconds-of-audio/sec",
+                "vs_baseline": round(throughput / 10.0, 3),
                 "detail": {
-                    "wall_s_per_10s_clip": round(best, 3),
-                    "warmup_s": round(warmup, 1),
-                    "all_runs_s": [round(t, 3) for t in times],
+                    "p50_latency_s_per_10s_clip_batch1": round(p50_latency, 3),
+                    "latency_x_realtime": round(duration / p50_latency, 3),
+                    "batch4_wall_s": [round(t, 3) for t in thr_runs],
+                    "warmup_s": [round(warmup_lat, 1), round(warmup_thr, 1)],
                     "device": str(jax.devices()[0]),
                 },
             }
