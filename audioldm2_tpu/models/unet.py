@@ -159,13 +159,11 @@ def init_unet(key, cfg: UNetConfig):
 
 
 def _resblock(p, x, emb):
-    h = nn.group_norm(p["in_norm"], x, eps=GN_EPS_RES)
-    h = nn.silu(h)
+    h = nn.group_norm_silu(p["in_norm"], x, eps=GN_EPS_RES)
     h = nn.conv2d(p["in_conv"], h)
     emb_out = nn.linear(p["emb"], nn.silu(emb))
     h = h + emb_out[:, None, None, :]
-    h = nn.group_norm(p["out_norm"], h, eps=GN_EPS_RES)
-    h = nn.silu(h)
+    h = nn.group_norm_silu(p["out_norm"], h, eps=GN_EPS_RES)
     h = nn.conv2d(p["out_conv"], h)
     skip = nn.conv2d(p["skip"], x) if "skip" in p else x
     return skip + h
@@ -309,6 +307,5 @@ def apply_unet(
             h = nn.nearest_upsample_2d(h)
             h = nn.conv2d(blk["upsample"], h)
 
-    h = nn.group_norm(params["out_norm"], h, eps=GN_EPS_RES)
-    h = nn.silu(h)
+    h = nn.group_norm_silu(params["out_norm"], h, eps=GN_EPS_RES)
     return nn.conv2d(params["out_conv"], h)

@@ -36,11 +36,9 @@ def _resblock_init(key, cin, cout):
 
 
 def _resblock(p, x):
-    h = nn.group_norm(p["norm1"], x, eps=GN_EPS)
-    h = nn.silu(h)
+    h = nn.group_norm_silu(p["norm1"], x, eps=GN_EPS)
     h = nn.conv2d(p["conv1"], h)
-    h = nn.group_norm(p["norm2"], h, eps=GN_EPS)
-    h = nn.silu(h)
+    h = nn.group_norm_silu(p["norm2"], h, eps=GN_EPS)
     h = nn.conv2d(p["conv2"], h)
     if "nin_shortcut" in p:
         x = nn.conv2d(p["nin_shortcut"], x)
@@ -122,8 +120,7 @@ def apply_encoder(p, cfg: VAEConfig, x):
     h = _resblock(p["mid"]["block_1"], h)
     h = _attnblock(p["mid"]["attn_1"], h)
     h = _resblock(p["mid"]["block_2"], h)
-    h = nn.group_norm(p["norm_out"], h, eps=GN_EPS)
-    h = nn.silu(h)
+    h = nn.group_norm_silu(p["norm_out"], h, eps=GN_EPS)
     return nn.conv2d(p["conv_out"], h)
 
 
@@ -165,8 +162,7 @@ def apply_decoder(p, cfg: VAEConfig, z):
             h = _resblock(rb, h)
         if "upsample" in level:
             h = _upsample(level["upsample"], h)
-    h = nn.group_norm(p["norm_out"], h, eps=GN_EPS)
-    h = nn.silu(h)
+    h = nn.group_norm_silu(p["norm_out"], h, eps=GN_EPS)
     return nn.conv2d(p["conv_out"], h)
 
 
