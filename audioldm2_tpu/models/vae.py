@@ -201,3 +201,34 @@ def decode(p, cfg: VAEConfig, z):
     """z: [B, t, f, embed_dim] -> mel [B, T, M, 1]."""
     z = nn.conv2d(p["post_quant_conv"], z)
     return apply_decoder(p["decoder"], cfg, z)
+
+
+def kl_divergence(mean, logvar, other_mean=None, other_logvar=None):
+    """KL of the posterior vs N(0,1) or another diagonal Gaussian
+    (reference distributions.py:36-55)."""
+    var = jnp.exp(logvar)
+    if other_mean is None:
+        return 0.5 * jnp.sum(
+            jnp.square(mean) + var - 1.0 - logvar, axis=tuple(range(1, mean.ndim))
+        )
+    other_var = jnp.exp(other_logvar)
+    return 0.5 * jnp.sum(
+        jnp.square(mean - other_mean) / other_var
+        + var / other_var
+        - 1.0
+        - logvar
+        + other_logvar,
+        axis=tuple(range(1, mean.ndim)),
+    )
+
+
+def nll(mean, logvar, sample):
+    """Negative log likelihood of sample under the posterior
+    (reference distributions.py:57-66)."""
+    import math
+
+    logtwopi = math.log(2.0 * math.pi)
+    return 0.5 * jnp.sum(
+        logtwopi + logvar + jnp.square(sample - mean) / jnp.exp(logvar),
+        axis=tuple(range(1, mean.ndim)),
+    )

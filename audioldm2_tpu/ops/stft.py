@@ -318,3 +318,119 @@ def stft_basis_nowin(filter_length: int) -> np.ndarray:
     angle = -2.0 * np.pi * k * n / filter_length
     basis = np.concatenate([np.cos(angle), np.sin(angle)], axis=0)
     return basis.T.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Inverse STFT + Griffin-Lim (reference stft.py:83-122,
+# audio_processing.py:35-82)
+# ---------------------------------------------------------------------------
+
+
+def inverse_stft_basis(filter_length: int, win_length: int) -> np.ndarray:
+    """Windowed pseudo-inverse synthesis basis [filter_length, 2*nfreq]."""
+    cutoff = filter_length // 2 + 1
+    n = np.arange(filter_length, dtype=np.float64)
+    k = np.arange(cutoff, dtype=np.float64)[:, None]
+    angle = -2.0 * np.pi * k * n / filter_length
+    fourier = np.concatenate([np.cos(angle), np.sin(angle)], axis=0)  # [2c, N]
+    scale = filter_length / win_length if False else filter_length / 160  # unused default
+    # reference: pinv(scale * basis).T with scale = filter_length / hop;
+    # the hop-dependent scale cancels with the explicit *= N/hop below, so
+    # use pinv of the raw basis and apply no extra scale at synthesis.
+    inv = np.linalg.pinv(fourier).astype(np.float64)  # [N, 2c]
+    window = hann_window_periodic(win_length)
+    pad = (filter_length - win_length) // 2
+    window_full = np.zeros(filter_length, dtype=np.float64)
+    window_full[pad : pad + win_length] = window
+    return (inv * window_full[:, None]).astype(np.float32)
+
+
+def window_sumsquare(
+    win_length: int, filter_length: int, hop: int, n_frames: int
+) -> np.ndarray:
+    """Squared-window overlap-add envelope (reference
+    audio_processing.py:35-63)."""
+    n = filter_length + hop * (n_frames - 1)
+    x = np.zeros(n, dtype=np.float64)
+    win = hann_window_periodic(win_length) ** 2
+    pad = (filter_length - win_length) // 2
+    win_full = np.zeros(filter_length)
+    win_full[pad : pad + win_length] = win
+    for i in range(n_frames):
+        s = i * hop
+        x[s : min(n, s + filter_length)] += win_full[: max(0, min(filter_length, n - s))]
+    return x.astype(np.float32)
+
+
+def istft(
+    magnitude: jnp.ndarray,
+    phase: jnp.ndarray,
+    filter_length: int,
+    hop: int,
+    win_length: int,
+) -> jnp.ndarray:
+    """magnitude/phase: [B, nfreq, T] -> waveform [B, N] (center-trimmed)."""
+    rec = jnp.concatenate(
+        [magnitude * jnp.cos(phase), magnitude * jnp.sin(phase)], axis=1
+    )  # [B, 2c, T]
+    rec = jnp.transpose(rec, (0, 2, 1))  # [B, T, 2c]
+    inv = jnp.asarray(inverse_stft_basis(filter_length, win_length))  # [N, 2c]
+    # overlap-add as a stride-`hop` transposed conv with kernel [N, 1, 2c]
+    w = inv[:, None, :]  # [k=N, O=1, I=2c]
+    n_frames = rec.shape[1]
+    y = jax.lax.conv_general_dilated(
+        rec,
+        jnp.flip(w, 0),
+        window_strides=(1,),
+        padding=[(filter_length - 1, filter_length - 1)],
+        lhs_dilation=(hop,),
+        dimension_numbers=("NHC", "HOI", "NHC"),
+        preferred_element_type=jnp.float32,
+    )[..., 0]
+    env = jnp.asarray(window_sumsquare(win_length, filter_length, hop, n_frames))
+    y = y / jnp.maximum(env, 1e-8)
+    half = filter_length // 2
+    return y[:, half:-half]
+
+
+def stft_full(wav, basis, filter_length, hop):
+    """(magnitude, phase) like the reference STFT.transform."""
+    pad = filter_length // 2
+    wavp = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    frames = frame_signal(wavp, filter_length, hop)
+    spec = jnp.einsum("btn,nf->btf", frames, basis, preferred_element_type=jnp.float32)
+    nfreq = basis.shape[1] // 2
+    real, imag = spec[..., :nfreq], spec[..., nfreq:]
+    mag = jnp.sqrt(jnp.maximum(real * real + imag * imag, 1e-12))
+    phase = jnp.arctan2(imag, real)
+    return jnp.transpose(mag, (0, 2, 1)), jnp.transpose(phase, (0, 2, 1))
+
+
+def griffin_lim(
+    magnitude: jnp.ndarray,
+    filter_length: int,
+    hop: int,
+    win_length: int,
+    n_iters: int = 30,
+    key=None,
+) -> jnp.ndarray:
+    """Phase recovery by alternating projections (reference
+    audio_processing.py:66-82). magnitude: [B, nfreq, T]."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    basis = jnp.asarray(stft_basis(filter_length, win_length))
+    phase = jax.random.uniform(
+        key, magnitude.shape, jnp.float32, -np.pi, np.pi
+    )
+
+    def body(phase, _):
+        signal = istft(magnitude, phase, filter_length, hop, win_length)
+        _, new_phase = stft_full(signal, basis, filter_length, hop)
+        t = min(new_phase.shape[-1], phase.shape[-1])
+        new_phase = jnp.pad(
+            new_phase[..., :t], ((0, 0), (0, 0), (0, phase.shape[-1] - t))
+        )
+        return new_phase, None
+
+    phase, _ = jax.lax.scan(body, phase, None, length=n_iters)
+    return istft(magnitude, phase, filter_length, hop, win_length)

@@ -113,3 +113,15 @@ def save_wave(
 
 def text_to_filename(text: str) -> str:
     return text.replace(" ", "_").replace("'", "_").replace('"', "_")
+
+
+def get_duration(fname: str) -> float:
+    """Clip duration in seconds (reference utils.py:21-25)."""
+    sr, data = wavfile.read(fname)
+    return data.shape[0] / float(sr)
+
+
+def get_bit_depth(fname: str) -> int:
+    """Sample bit depth (reference utils.py:28-31)."""
+    _, data = wavfile.read(fname)
+    return data.dtype.itemsize * 8

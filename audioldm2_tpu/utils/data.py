@@ -143,3 +143,28 @@ class AudioDataset:
             clap_ids=ids, clap_mask=mask, clap_uncond_ids=uids, clap_uncond_mask=umask
         )
         return batch
+
+
+class BalancedSampler:
+    """Class-balanced index sampler (reference utilities/sampler.py:47-588
+    family, reduced to its inference-relevant core): entries carry optional
+    "labels"; sampling weight is inversely proportional to label frequency."""
+
+    def __init__(self, entries: List[Dict], seed: int = 0):
+        import collections
+
+        self.rng = np.random.default_rng(seed)
+        freq: Dict = collections.Counter()
+        self.labels = []
+        for e in entries:
+            label = e.get("labels") or e.get("label") or ""
+            label = label.split(",")[0] if isinstance(label, str) else str(label)
+            self.labels.append(label)
+            freq[label] += 1
+        self.weights = np.asarray(
+            [1.0 / freq[label] for label in self.labels], np.float64
+        )
+        self.weights /= self.weights.sum()
+
+    def sample(self, n: int) -> np.ndarray:
+        return self.rng.choice(len(self.labels), size=n, p=self.weights)
