@@ -70,6 +70,9 @@ class VAEConfig:
     num_res_blocks: int = 2
     double_z: bool = True
     mel_bins: int = 64
+    # levels using anisotropic (4x time, 2x freq) striding — reference
+    # model.py:60-115 DownsampleTimeStride4/UpsampleTimeStride4
+    downsample_time_stride4_levels: Tuple[int, ...] = ()
 
     @property
     def num_resolutions(self) -> int:
@@ -96,6 +99,9 @@ class VocoderConfig:
         (1, 3, 5),
     )
     sampling_rate: int = 16000
+    # "1": dual-conv MRF blocks (shipped checkpoints); "2": single-conv
+    # blocks of the v2 Generator (reference hifigan/models_v2.py:112-152)
+    resblock: str = "1"
 
 
 VOCODER_16K = VocoderConfig()

@@ -145,7 +145,12 @@ def convert_vae(sd: Dict[str, np.ndarray], cfg: VAEConfig, prefix: str = "") -> 
         }
         ds_key = f"{prefix}encoder.down.{i}.downsample.conv"
         if ds_key + ".weight" in sd:
-            level["downsample"] = conv2d_p(sd, ds_key)
+            kind = (
+                "downsample_ts4"
+                if i in cfg.downsample_time_stride4_levels
+                else "downsample"
+            )
+            level[kind] = conv2d_p(sd, ds_key)
         down.append(level)
     enc["down"] = down
     enc["mid"] = {
@@ -172,7 +177,12 @@ def convert_vae(sd: Dict[str, np.ndarray], cfg: VAEConfig, prefix: str = "") -> 
         }
         us_key = f"{prefix}decoder.up.{i}.upsample.conv"
         if us_key + ".weight" in sd:
-            level["upsample"] = conv2d_p(sd, us_key)
+            kind = (
+                "upsample_ts4"
+                if (i - 1) in cfg.downsample_time_stride4_levels
+                else "upsample"
+            )
+            level[kind] = conv2d_p(sd, us_key)
         up.append(level)
     dec["up"] = up
     dec["norm_out"] = norm_p(sd, prefix + "decoder.norm_out")
@@ -199,18 +209,26 @@ def convert_vocoder(sd: Dict[str, np.ndarray], cfg: VocoderConfig, prefix: str =
     ups, resblocks = [], []
     for i in range(len(cfg.upsample_rates)):
         ups.append(wn_conv_transpose1d_p(sd, f"{prefix}ups.{i}"))
-        for j in range(len(cfg.resblock_kernel_sizes)):
+        for j, dils in enumerate(cfg.resblock_dilation_sizes):
             idx = i * len(cfg.resblock_kernel_sizes) + j
-            rb = {
-                "convs1": [
-                    wn_conv1d_p(sd, f"{prefix}resblocks.{idx}.convs1.{m}")
-                    for m in range(3)
-                ],
-                "convs2": [
-                    wn_conv1d_p(sd, f"{prefix}resblocks.{idx}.convs2.{m}")
-                    for m in range(3)
-                ],
-            }
+            if cfg.resblock == "1":
+                rb = {
+                    "convs1": [
+                        wn_conv1d_p(sd, f"{prefix}resblocks.{idx}.convs1.{m}")
+                        for m in range(len(dils))
+                    ],
+                    "convs2": [
+                        wn_conv1d_p(sd, f"{prefix}resblocks.{idx}.convs2.{m}")
+                        for m in range(len(dils))
+                    ],
+                }
+            else:
+                rb = {
+                    "convs": [
+                        wn_conv1d_p(sd, f"{prefix}resblocks.{idx}.convs.{m}")
+                        for m in range(len(dils))
+                    ]
+                }
             resblocks.append(rb)
     p["ups"] = ups
     p["resblocks"] = resblocks

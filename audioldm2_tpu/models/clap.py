@@ -92,6 +92,10 @@ def cos_similarity_waveform_text(params, cfg, wav, text, tokenizer, sampling_rat
     wav48 = resample(wav, sampling_rate, 48000)
     clip = cfg.clip_samples
     if wav48.shape[-1] < clip:
+        # "repeatpad" data_filling (reference clap/training/data.py:421-450):
+        # tile the clip as many whole times as fits, zero-pad the rest
+        n_repeat = max(1, clip // wav48.shape[-1])
+        wav48 = np.tile(wav48, (1, n_repeat))
         wav48 = np.pad(wav48, ((0, 0), (0, clip - wav48.shape[-1])))
     else:
         wav48 = wav48[:, :clip]

@@ -75,9 +75,22 @@ def _downsample(p, x):
     return nn.conv2d(p, x, stride=(2, 2), padding="VALID")
 
 
+def _downsample_ts4(p, x):
+    # DownsampleTimeStride4 (reference model.py:97-115): pad (0,1,0,1),
+    # 5x5 conv, stride (4, 2), torch padding=1
+    x = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    return nn.conv2d(p, x, stride=(4, 2), padding="VALID")
+
+
 def _upsample(p, x):
     x = nn.nearest_upsample_2d(x)
     return nn.conv2d(p, x)
+
+
+def _upsample_ts4(p, x):
+    # UpsampleTimeStride4 (reference model.py:60-73): nearest (4, 2), 5x5 conv
+    x = nn.nearest_upsample_2d(x, 4, 2)
+    return nn.conv2d(p, x, padding=2)
 
 
 def init_encoder(key, cfg: VAEConfig):
@@ -96,7 +109,10 @@ def init_encoder(key, cfg: VAEConfig):
             block_in = block_out
         level = {"block": blocks}
         if i != len(mults) - 1:
-            level["downsample"] = nn.conv_init(next(keys), 3, 3, block_in, block_in)
+            if i in cfg.downsample_time_stride4_levels:
+                level["downsample_ts4"] = nn.conv_init(next(keys), 5, 5, block_in, block_in)
+            else:
+                level["downsample"] = nn.conv_init(next(keys), 3, 3, block_in, block_in)
         down.append(level)
     p["down"] = down
     p["mid"] = {
@@ -117,6 +133,8 @@ def apply_encoder(p, cfg: VAEConfig, x):
             h = _resblock(rb, h)
         if "downsample" in level:
             h = _downsample(level["downsample"], h)
+        elif "downsample_ts4" in level:
+            h = _downsample_ts4(level["downsample_ts4"], h)
     h = _resblock(p["mid"]["block_1"], h)
     h = _attnblock(p["mid"]["attn_1"], h)
     h = _resblock(p["mid"]["block_2"], h)
@@ -143,7 +161,10 @@ def init_decoder(key, cfg: VAEConfig):
             block_in = block_out
         level = {"block": blocks}
         if i != 0:
-            level["upsample"] = nn.conv_init(next(keys), 3, 3, block_in, block_in)
+            if (i - 1) in cfg.downsample_time_stride4_levels:
+                level["upsample_ts4"] = nn.conv_init(next(keys), 5, 5, block_in, block_in)
+            else:
+                level["upsample"] = nn.conv_init(next(keys), 3, 3, block_in, block_in)
         up[i] = level
     p["up"] = up
     p["norm_out"] = nn.norm_init(block_in)
@@ -162,6 +183,8 @@ def apply_decoder(p, cfg: VAEConfig, z):
             h = _resblock(rb, h)
         if "upsample" in level:
             h = _upsample(level["upsample"], h)
+        elif "upsample_ts4" in level:
+            h = _upsample_ts4(level["upsample_ts4"], h)
     h = nn.group_norm_silu(p["norm_out"], h, eps=GN_EPS)
     return nn.conv2d(p["conv_out"], h)
 

@@ -44,14 +44,21 @@ def init_vocoder(key, cfg: VocoderConfig):
             }
         )
         for ks, dils in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
-            rb = {
-                "convs1": [
-                    nn.conv1d_init(next(keys), ks, cout, cout) for _ in dils
-                ],
-                "convs2": [
-                    nn.conv1d_init(next(keys), ks, cout, cout) for _ in dils
-                ],
-            }
+            if cfg.resblock == "1":
+                rb = {
+                    "convs1": [
+                        nn.conv1d_init(next(keys), ks, cout, cout) for _ in dils
+                    ],
+                    "convs2": [
+                        nn.conv1d_init(next(keys), ks, cout, cout) for _ in dils
+                    ],
+                }
+            else:
+                rb = {
+                    "convs": [
+                        nn.conv1d_init(next(keys), ks, cout, cout) for _ in dils
+                    ]
+                }
             resblocks.append(rb)
     p["ups"] = ups
     p["resblocks"] = resblocks
@@ -69,6 +76,15 @@ def _resblock(p, x, kernel_size: int, dilations):
     return x
 
 
+def _resblock2(p, x, kernel_size: int, dilations):
+    """v2 single-conv MRF block (reference models_v2.py:112-152)."""
+    for c, d in zip(p["convs"], dilations):
+        xt = nn.leaky_relu(x, LRELU_SLOPE)
+        xt = nn.conv1d(c, xt, padding=_get_padding(kernel_size, d), dilation=d)
+        x = xt + x
+    return x
+
+
 def apply_vocoder(p, cfg: VocoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel: [B, T_mel, num_mels] -> waveform [B, T_mel * prod(rates)]."""
     x = nn.conv1d(p["conv_pre"], mel, padding=3)
@@ -77,10 +93,11 @@ def apply_vocoder(p, cfg: VocoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
         x = nn.leaky_relu(x, LRELU_SLOPE)
         x = nn.conv_transpose1d(p["ups"][i], x, stride=u, padding=(k - u) // 2)
         acc = None
+        rb_fn = _resblock if cfg.resblock == "1" else _resblock2
         for j, (ks, dils) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
         ):
-            y = _resblock(p["resblocks"][i * nk + j], x, ks, dils)
+            y = rb_fn(p["resblocks"][i * nk + j], x, ks, dils)
             acc = y if acc is None else acc + y
         x = acc / nk
     x = nn.leaky_relu(x, 0.01)  # torch F.leaky_relu default slope

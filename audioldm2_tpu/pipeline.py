@@ -40,6 +40,11 @@ def _t5_max_length(cfg: ModelConfig) -> int:
     return walk(cfg.conditioners) or 128
 
 
+def round_up_duration(duration: float) -> float:
+    """Round duration up to the 2.5 s grid (reference pipeline.py:124-125)."""
+    return float(int(round(duration / 2.5) + 1) * 2.5)
+
+
 def seed_everything(seed: int):
     """The JAX analogue of the reference's global RNG seeding
     (reference pipeline.py:20-31): we return a threefry key; all device

@@ -62,3 +62,38 @@ def test_vocoder_16k_shapes():
     # prod(rates) = 160 samples per mel frame; the first stage (rate 5,
     # kernel 16) emits 5L+1 frames so the exact length is 160L + 32
     assert wav.shape == (1, 64 * 160 + 32)
+
+
+def test_vocoder_v2_resblock2_parity(rng):
+    """v2 Generator with ResBlock2 (reference hifigan/models_v2.py)."""
+    torch = pytest.importorskip("torch")
+    models_v2 = _reference.load("audioldm2.hifigan.models_v2")
+    torch.manual_seed(1)
+    cfg = VocoderConfig(
+        num_mels=256,  # v2 Generator hardcodes conv_pre in_channels=256
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+        resblock="2",
+    )
+    h = _H(
+        resblock="2",
+        resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in cfg.resblock_dilation_sizes],
+        upsample_rates=list(cfg.upsample_rates),
+        upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        num_mels=cfg.num_mels,
+    )
+    gen = models_v2.Generator(h).eval()
+    sd = convert.state_dict_to_numpy(gen.state_dict())
+    params = convert.convert_vocoder(sd, cfg, prefix="")
+    gen.remove_weight_norm()
+
+    mel = rng.standard_normal((1, 12, cfg.num_mels)).astype(np.float32)
+    with torch.no_grad():
+        want = gen(torch.from_numpy(mel.transpose(0, 2, 1))).squeeze(1).numpy()
+    got = np.asarray(jvoc.apply_vocoder(params, cfg, mel))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
