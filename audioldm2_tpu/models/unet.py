@@ -159,12 +159,10 @@ def init_unet(key, cfg: UNetConfig):
 
 
 def _resblock(p, x, emb):
-    h = nn.group_norm_silu(p["in_norm"], x, eps=GN_EPS_RES)
-    h = nn.conv2d(p["in_conv"], h)
+    h = nn.gn_silu_conv(p["in_norm"], p["in_conv"], x, eps=GN_EPS_RES)
     emb_out = nn.linear(p["emb"], nn.silu(emb))
     h = h + emb_out[:, None, None, :]
-    h = nn.group_norm_silu(p["out_norm"], h, eps=GN_EPS_RES)
-    h = nn.conv2d(p["out_conv"], h)
+    h = nn.gn_silu_conv(p["out_norm"], p["out_conv"], h, eps=GN_EPS_RES)
     skip = nn.conv2d(p["skip"], x) if "skip" in p else x
     return skip + h
 

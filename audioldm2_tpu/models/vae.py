@@ -36,10 +36,8 @@ def _resblock_init(key, cin, cout):
 
 
 def _resblock(p, x):
-    h = nn.group_norm_silu(p["norm1"], x, eps=GN_EPS)
-    h = nn.conv2d(p["conv1"], h)
-    h = nn.group_norm_silu(p["norm2"], h, eps=GN_EPS)
-    h = nn.conv2d(p["conv2"], h)
+    h = nn.gn_silu_conv(p["norm1"], p["conv1"], x, eps=GN_EPS)
+    h = nn.gn_silu_conv(p["norm2"], p["conv2"], h, eps=GN_EPS)
     if "nin_shortcut" in p:
         x = nn.conv2d(p["nin_shortcut"], x)
     return x + h

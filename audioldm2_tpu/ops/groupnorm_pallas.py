@@ -16,6 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -76,6 +77,3 @@ def supported(x, groups: int) -> bool:
     # per-row f32 working set must fit comfortably in VMEM (~16 MB)
     row_bytes = int(np.prod(x.shape[1:])) * 4
     return row_bytes <= 6 * 1024 * 1024
-
-
-import numpy as np  # noqa: E402  (used in supported())

@@ -182,6 +182,40 @@ def _pallas_groupnorm_enabled() -> bool:
         return False
 
 
+# Default None = auto (TPU only): the fused GN+SiLU+conv3x3 ResBlock kernel
+# measured faster than the XLA chain at production shapes.
+USE_PALLAS_RESBLOCK = None
+
+
+def _pallas_resblock_enabled() -> bool:
+    if USE_PALLAS_RESBLOCK is not None:
+        return USE_PALLAS_RESBLOCK
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def gn_silu_conv(p_norm, p_conv, x, groups: int = 32, eps: float = 1e-5):
+    """GroupNorm -> SiLU -> 3x3 SAME conv — the ResBlock body. Dispatches to
+    the fused Pallas kernel on TPU when the geometry fits VMEM."""
+    w = p_conv["w"]
+    if (
+        _pallas_resblock_enabled()
+        and x.ndim == 4
+        and w.shape[0] == 3
+        and w.shape[1] == 3
+    ):
+        from audioldm2_tpu.ops import resblock_pallas
+
+        if resblock_pallas.supported(x, w, groups):
+            return resblock_pallas.gn_silu_conv3x3(
+                x, p_norm["scale"], p_norm["bias"], w.astype(x.dtype),
+                p_conv["b"], groups=groups, eps=eps,
+            )
+    return conv2d(p_conv, group_norm_silu(p_norm, x, groups, eps))
+
+
 def group_norm_silu(p, x, groups: int = 32, eps: float = 1e-5):
     """Fused GroupNorm -> SiLU (every UNet/VAE ResBlock runs this pair);
     dispatches to the Pallas kernel on TPU."""

@@ -1,0 +1,128 @@
+"""Fused GroupNorm + SiLU + 3x3 conv Pallas kernel (the UNet/VAE ResBlock
+body).
+
+Each program handles one batch row: the full [T, F, C] activation fits VMEM
+at this model's geometries (<= 2 MB). The kernel computes GroupNorm stats
+with two VPU passes (column sum / sum-of-squares, then per-group slices of
+the [1, C] rows — NOT per-group passes over the full tensor), normalizes,
+applies SiLU, and performs the SAME-padded 3x3 convolution as nine shifted
+[S, Cin] x [Cin, Cout] MXU matmuls with zero-masked F-boundary rows.
+
+This replaces ~5 XLA fusions + dtype converts + an HBM round trip per
+ResBlock half with a single kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, gn_scale_ref, gn_bias_ref, w_ref, b_ref, o_ref, *,
+            groups: int, eps: float, T: int, F: int):
+    x = x_ref[0].astype(jnp.float32)  # [S, Cin], S = T*F
+    s, cin = x.shape
+    cout = o_ref.shape[-1]
+    cg = cin // groups
+
+    # --- GroupNorm stats: two passes over x, then tiny per-group slices ---
+    colsum = jnp.sum(x, axis=0, keepdims=True)  # [1, Cin]
+    colsq = jnp.sum(x * x, axis=0, keepdims=True)
+    n = float(s * cg)
+    mean_parts, rstd_parts = [], []
+    for g in range(groups):
+        gsum = jnp.sum(colsum[:, g * cg : (g + 1) * cg])
+        gsq = jnp.sum(colsq[:, g * cg : (g + 1) * cg])
+        mean = gsum / n
+        var = gsq / n - mean * mean
+        mean_parts.append(jnp.full((1, cg), mean, jnp.float32))
+        rstd_parts.append(jnp.full((1, cg), jax.lax.rsqrt(var + eps), jnp.float32))
+    mean_c = jnp.concatenate(mean_parts, axis=1)
+    rstd_c = jnp.concatenate(rstd_parts, axis=1)
+
+    y = (x - mean_c) * rstd_c * gn_scale_ref[...] + gn_bias_ref[...]
+    y = y * jax.nn.sigmoid(y)
+    y = y.astype(w_ref.dtype)
+
+    # --- 3x3 SAME conv as 9 shifted matmuls over reused scratch ---
+    # row index = t * F + f; a (dt, df) tap reads row (t+dt)*F + (f+df)
+    row_f = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0) % F
+
+    def body(y_scr, ys_scr, acc_scr):
+        y_scr[...] = y
+        acc_scr[...] = jnp.zeros((s, cout), jnp.float32)
+        for dt in (-1, 0, 1):
+            for df in (-1, 0, 1):
+                # output row r reads input row r + shift
+                shift = dt * F + df
+                yy = y_scr[...]
+                if shift > 0:
+                    ys_scr[: s - shift, :] = yy[shift:]
+                    ys_scr[s - shift :, :] = jnp.zeros((shift, cin), yy.dtype)
+                elif shift < 0:
+                    ys_scr[-shift:, :] = yy[: s + shift]
+                    ys_scr[:-shift, :] = jnp.zeros((-shift, cin), yy.dtype)
+                else:
+                    ys_scr[...] = yy
+                # f + df out of [0, F): zero the tap for boundary output rows
+                if df == 1:
+                    ys_scr[...] = jnp.where(row_f == F - 1, 0.0, ys_scr[...]).astype(yy.dtype)
+                elif df == -1:
+                    ys_scr[...] = jnp.where(row_f == 0, 0.0, ys_scr[...]).astype(yy.dtype)
+                w_tap = w_ref[dt + 1, df + 1]  # [Cin, Cout]
+                acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
+                    ys_scr[...], w_tap,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        o_ref[0] = (acc_scr[...] + b_ref[...]).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        y_scr=pltpu.VMEM((s, cin), y.dtype),
+        ys_scr=pltpu.VMEM((s, cin), y.dtype),
+        acc_scr=pltpu.VMEM((s, cout), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps"))
+def gn_silu_conv3x3(x, gn_scale, gn_bias, w, b, groups: int = 32,
+                    eps: float = 1e-5):
+    """x: [B, T, F, Cin]; w: [3, 3, Cin, Cout] (HWIO); returns
+    [B, T, F, Cout] in x.dtype."""
+    bsz, T, F, cin = x.shape
+    cout = w.shape[-1]
+    s = T * F
+    xf = x.reshape(bsz, s, cin)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, groups=groups, eps=eps, T=T, F=F),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, cout), x.dtype),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, s, cin), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cin,), lambda i: (0,)),
+            pl.BlockSpec((cin,), lambda i: (0,)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, s, cout), lambda i: (i, 0, 0)),
+    )(xf, gn_scale.astype(jnp.float32), gn_bias.astype(jnp.float32), w,
+      b.astype(jnp.float32))
+    return out.reshape(bsz, T, F, cout)
+
+
+def supported(x, w, groups: int) -> bool:
+    bsz, T, F, cin = x.shape
+    cout = w.shape[-1]
+    if cin % groups or cin % 128 or cout % 128:
+        return False
+    s = T * F
+    # VMEM budget: x (f32) + y + acc + weights
+    budget = (s * cin * 4) * 2 + s * cout * 4 + int(np.prod(w.shape)) * w.dtype.itemsize
+    return budget <= 10 * 1024 * 1024

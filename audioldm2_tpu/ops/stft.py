@@ -333,10 +333,9 @@ def inverse_stft_basis(filter_length: int, win_length: int) -> np.ndarray:
     k = np.arange(cutoff, dtype=np.float64)[:, None]
     angle = -2.0 * np.pi * k * n / filter_length
     fourier = np.concatenate([np.cos(angle), np.sin(angle)], axis=0)  # [2c, N]
-    scale = filter_length / win_length if False else filter_length / 160  # unused default
-    # reference: pinv(scale * basis).T with scale = filter_length / hop;
-    # the hop-dependent scale cancels with the explicit *= N/hop below, so
-    # use pinv of the raw basis and apply no extra scale at synthesis.
+    # The reference builds pinv(scale * basis) and multiplies the synthesis
+    # output by filter_length/hop (stft.py:34-35,116-117); the two scale
+    # factors cancel, so the raw pseudo-inverse is used directly here.
     inv = np.linalg.pinv(fourier).astype(np.float64)  # [N, 2c]
     window = hann_window_periodic(win_length)
     pad = (filter_length - win_length) // 2
