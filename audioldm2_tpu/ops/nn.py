@@ -13,6 +13,7 @@ bfloat16 params/activations.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -198,7 +199,8 @@ def _pallas_resblock_enabled() -> bool:
 
 def gn_silu_conv(p_norm, p_conv, x, groups: int = 32, eps: float = 1e-5):
     """GroupNorm -> SiLU -> 3x3 SAME conv — the ResBlock body. Dispatches to
-    the fused Pallas kernel on TPU when the geometry fits VMEM."""
+    the fused Pallas kernel on TPU when the geometry fits VMEM; gradients
+    flow through the jnp composition (custom VJP)."""
     w = p_conv["w"]
     if (
         _pallas_resblock_enabled()
@@ -209,11 +211,35 @@ def gn_silu_conv(p_norm, p_conv, x, groups: int = 32, eps: float = 1e-5):
         from audioldm2_tpu.ops import resblock_pallas
 
         if resblock_pallas.supported(x, w, groups):
-            return resblock_pallas.gn_silu_conv3x3(
+            return _gn_silu_conv_fused(
                 x, p_norm["scale"], p_norm["bias"], w.astype(x.dtype),
-                p_conv["b"], groups=groups, eps=eps,
+                p_conv["b"], groups, eps,
             )
     return conv2d(p_conv, group_norm_silu(p_norm, x, groups, eps))
+
+
+def _gn_silu_conv_ref(x, scale, bias, w, b, groups, eps):
+    return conv2d({"w": w, "b": b}, silu(group_norm({"scale": scale, "bias": bias}, x, groups, eps)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gn_silu_conv_fused(x, scale, bias, w, b, groups, eps):
+    from audioldm2_tpu.ops import resblock_pallas
+
+    return resblock_pallas.gn_silu_conv3x3(x, scale, bias, w, b, groups=groups, eps=eps)
+
+
+def _gn_silu_conv_fwd(x, scale, bias, w, b, groups, eps):
+    return _gn_silu_conv_fused(x, scale, bias, w, b, groups, eps), (x, scale, bias, w, b)
+
+
+def _gn_silu_conv_bwd(groups, eps, res, g):
+    x, scale, bias, w, b = res
+    _, vjp = jax.vjp(lambda *a: _gn_silu_conv_ref(*a, groups, eps), x, scale, bias, w, b)
+    return vjp(g)
+
+
+_gn_silu_conv_fused.defvjp(_gn_silu_conv_fwd, _gn_silu_conv_bwd)
 
 
 def group_norm_silu(p, x, groups: int = 32, eps: float = 1e-5):
