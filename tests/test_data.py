@@ -10,8 +10,9 @@ from audioldm2_tpu.utils.data import AudioDataset, DatasetConfig
 from tiny import tiny_t5_model_config
 
 
-@pytest.fixture
-def dataset(tmp_path):
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("audio")
     sr = 1600
     entries = []
     rng = np.random.default_rng(0)
