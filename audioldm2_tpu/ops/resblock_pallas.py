@@ -25,14 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, gn_scale_ref, gn_bias_ref, w_ref, b_ref, o_ref, *,
             groups: int, eps: float, T: int, F: int):
-    x = x_ref[0].astype(jnp.float32)  # [S, Cin], S = T*F
-    s, cin = x.shape
+    xin = x_ref[0]  # [S, Cin], S = T*F (input dtype, usually bf16)
+    s, cin = xin.shape
     cout = o_ref.shape[-1]
     cg = cin // groups
 
-    # --- GroupNorm stats: two passes over x, then tiny per-group slices ---
-    colsum = jnp.sum(x, axis=0, keepdims=True)  # [1, Cin]
-    colsq = jnp.sum(x * x, axis=0, keepdims=True)
+    # --- GroupNorm stats: two f32-accumulated passes, then tiny slices ---
+    x32 = xin.astype(jnp.float32)
+    colsum = jnp.sum(x32, axis=0, keepdims=True)  # [1, Cin]
+    colsq = jnp.sum(x32 * x32, axis=0, keepdims=True)
     n = float(s * cg)
     mean_parts, rstd_parts = [], []
     for g in range(groups):
@@ -45,9 +46,8 @@ def _kernel(x_ref, gn_scale_ref, gn_bias_ref, w_ref, b_ref, o_ref, *,
     mean_c = jnp.concatenate(mean_parts, axis=1)
     rstd_c = jnp.concatenate(rstd_parts, axis=1)
 
-    y = (x - mean_c) * rstd_c * gn_scale_ref[...] + gn_bias_ref[...]
-    y = y * jax.nn.sigmoid(y)
-    y = y.astype(w_ref.dtype)
+    y = (x32 - mean_c) * rstd_c * gn_scale_ref[...] + gn_bias_ref[...]
+    y = (y * jax.nn.sigmoid(y)).astype(w_ref.dtype)
 
     # --- 3x3 SAME conv as 9 shifted matmuls over reused scratch ---
     # row index = t * F + f; a (dt, df) tap reads row (t+dt)*F + (f+df)
