@@ -307,3 +307,49 @@ def apply_unet(
 
     h = nn.group_norm_silu(params["out_norm"], h, eps=GN_EPS_RES)
     return nn.conv2d(params["out_conv"], h)
+
+
+# ---------------------------------------------------------------------------
+# Legacy QKV attention block (used when use_spatial_transformer=False;
+# reference openaimodel.py:303-443). No shipped checkpoint enables it, but it
+# completes the reference's attention surface.
+# ---------------------------------------------------------------------------
+
+
+def init_legacy_attention_block(key, channels: int, num_heads: int = 1,
+                                num_head_channels: int = -1):
+    if num_head_channels != -1:
+        num_heads = channels // num_head_channels
+    k1, k2 = jax.random.split(key)
+    return {
+        "num_heads": num_heads,
+        "norm": nn.norm_init(channels),
+        "qkv": nn.conv1d_init(k1, 1, channels, channels * 3),
+        "proj_out": nn.conv1d_init(k2, 1, channels, channels, zero=True),
+    }
+
+
+def apply_legacy_attention_block(p, x, new_order: bool = False):
+    """x: [B, T, F, C] (or [B, S, C]); residual QKV attention over all
+    spatial positions. ``new_order`` selects QKVAttention vs
+    QKVAttentionLegacy head splitting (openaimodel.py:389-443) — both are
+    mathematically identical for conv-produced qkv."""
+    orig_shape = x.shape
+    b, c = x.shape[0], x.shape[-1]
+    xs = x.reshape(b, -1, c)
+    heads = p["num_heads"]
+    d = c // heads
+
+    h = nn.group_norm(p["norm"], xs)
+    qkv = nn.conv1d(p["qkv"], h, padding=0)  # [B, S, 3C]
+    if new_order:
+        # QKVAttention: split channel thirds first, then heads
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (nn.split_heads(t, heads) for t in (q, k, v))
+    else:
+        # QKVAttentionLegacy: split heads first ([B, S, H, 3d]), then thirds
+        qkv = qkv.reshape(b, -1, heads, 3 * d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = nn.attention(q, k, v)
+    out = nn.conv1d(p["proj_out"], nn.merge_heads(out), padding=0)
+    return (xs + out).reshape(orig_shape)

@@ -124,3 +124,31 @@ def test_unet_full_config_shapes():
     )
     assert out.shape == (1, 64, 16, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_legacy_attention_block_parity(rng):
+    """Legacy QKV AttentionBlock (reference openaimodel.py:303-443), both
+    attention orders."""
+    torch = pytest.importorskip("torch")
+    om = _reference.load(
+        "audioldm2.latent_diffusion.modules.diffusionmodules.openaimodel"
+    )
+    for new_order in (False, True):
+        torch.manual_seed(3)
+        ref = om.AttentionBlock(
+            64, num_heads=4, use_new_attention_order=new_order
+        ).eval()
+        sd = convert.state_dict_to_numpy(ref.state_dict())
+        params = {
+            "num_heads": 4,
+            "norm": convert.norm_p(sd, "norm"),
+            "qkv": convert.conv1d_p(sd, "qkv"),
+            "proj_out": convert.conv1d_p(sd, "proj_out"),
+        }
+        x = rng.standard_normal((2, 8, 4, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(
+            junet.apply_legacy_attention_block(params, x, new_order=new_order)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
