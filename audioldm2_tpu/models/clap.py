@@ -103,3 +103,31 @@ def cos_similarity_waveform_text(params, cfg, wav, text, tokenizer, sampling_rat
     ids, mask = tokenizer([text] * wav.shape[0])
     t = text_embedding(params, cfg, ids, mask)[:, 0]
     return np.asarray(cos_similarity(a, t))
+
+
+def sliding_windows(wav: np.ndarray, clip_samples: int, hopsize: int) -> np.ndarray:
+    """Long-audio sliding windows (reference model.py:780-836 audio_infer,
+    with its latent bugs fixed: hopsize defaults sanely and short audio is
+    tiled up to one clip). wav: [N] -> [n_windows, clip_samples]."""
+    n = wav.shape[-1]
+    k = clip_samples // max(n, 1)
+    if k > 1:
+        wav = np.tile(wav, k)
+        n = wav.shape[-1]
+    if n <= clip_samples:
+        out = np.zeros((1, clip_samples), wav.dtype)
+        out[0, :n] = wav
+        return out
+    hopsize = min(hopsize, n)
+    starts = list(range(0, n - clip_samples, hopsize))
+    wins = [wav[p : p + clip_samples] for p in starts]
+    wins.append(wav[-clip_samples:])
+    return np.stack(wins)
+
+
+def audio_embedding_long(params, cfg: CLAPConfig, wav, hopsize: int = 240000):
+    """Per-window CLAP audio embeddings for audio longer than clip_samples
+    (the reference's HTSAT sliding-window path). wav: [N] @ 48 kHz.
+    Returns [n_windows, 512]."""
+    wins = sliding_windows(np.asarray(wav, np.float32), cfg.clip_samples, hopsize)
+    return audio_embedding(params, cfg, jnp.asarray(wins))
