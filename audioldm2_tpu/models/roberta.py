@@ -64,16 +64,30 @@ def init_roberta(key, cfg: RobertaConfig):
     }
 
 
-def apply_roberta(params, cfg: RobertaConfig, input_ids, attention_mask):
-    """Returns (sequence_output [B, L, D], pooler_output [B, D])."""
-    mask = attention_mask.astype(jnp.int32)
-    incremental = jnp.cumsum(mask, axis=1) * mask
-    position_ids = incremental + cfg.pad_token_id
+def apply_roberta(params, cfg: RobertaConfig, input_ids, attention_mask,
+                  bert_style: bool = False, token_type_ids=None):
+    """Returns (sequence_output [B, L, D], pooler_output [B, D]).
 
+    ``bert_style=True`` switches to BERT semantics (plain arange positions,
+    token_type ids) — the same block structure serves CLAP's "bert" text
+    branch (reference clap/open_clip/model.py:497-512)."""
+    mask = attention_mask.astype(jnp.int32)
+    if bert_style:
+        L = input_ids.shape[1]
+        position_ids = jnp.broadcast_to(jnp.arange(L), input_ids.shape)
+    else:
+        incremental = jnp.cumsum(mask, axis=1) * mask
+        position_ids = incremental + cfg.pad_token_id
+
+    type_emb = (
+        jnp.asarray(params["token_type_embeddings"])[token_type_ids]
+        if token_type_ids is not None
+        else params["token_type_embeddings"][0]
+    )
     x = (
         jnp.asarray(params["word_embeddings"])[input_ids]
         + jnp.asarray(params["position_embeddings"])[position_ids]
-        + params["token_type_embeddings"][0]
+        + type_emb
     )
     x = nn.layer_norm(params["emb_ln"], x, cfg.layer_norm_eps)
 

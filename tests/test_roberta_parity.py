@@ -59,3 +59,48 @@ def test_roberta_parity(rng):
             np.asarray(seq_j)[b, :n], seq_t[b, :n], atol=2e-4, rtol=1e-3
         )
     np.testing.assert_allclose(np.asarray(pool_j), pool_t, atol=2e-4, rtol=1e-3)
+
+
+def test_bert_style_parity(rng):
+    """BERT semantics via bert_style=True (CLAP's "bert" text branch)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    cfg = jrob.RobertaConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=40, type_vocab_size=2,
+    )
+    hf_cfg = transformers.BertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        type_vocab_size=2, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(1)
+    ref = transformers.BertModel(hf_cfg).eval()
+    from audioldm2_tpu import convert
+
+    params = convert.convert_roberta(
+        convert.state_dict_to_numpy(ref.state_dict()), num_layers=cfg.num_layers
+    )
+    ids = rng.integers(2, cfg.vocab_size, (2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.int32)
+    types = np.zeros((2, 10), np.int32)
+    types[:, 5:] = 1
+    with torch.no_grad():
+        out = ref(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            token_type_ids=torch.from_numpy(types).long(),
+        )
+    seq_j, pool_j = jrob.apply_roberta(
+        params, cfg, ids, mask, bert_style=True, token_type_ids=types
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq_j), out.last_hidden_state.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(pool_j), out.pooler_output.numpy(), atol=2e-4, rtol=1e-3
+    )
