@@ -64,6 +64,38 @@ def init_roberta(key, cfg: RobertaConfig):
     }
 
 
+def apply_bart_encoder(params, cfg: RobertaConfig, input_ids, attention_mask):
+    """BART encoder (CLAP's "bart" text branch pools its
+    encoder_last_hidden_state mean, reference model.py:517-545,664-673):
+    learned positions with the BART +2 offset, embedding LayerNorm, post-LN
+    blocks shared with the BERT/RoBERTa structure."""
+    L = input_ids.shape[1]
+    position_ids = jnp.broadcast_to(jnp.arange(L) + 2, input_ids.shape)
+    x = (
+        jnp.asarray(params["word_embeddings"])[input_ids]
+        + jnp.asarray(params["position_embeddings"])[position_ids]
+    )
+    x = nn.layer_norm(params["emb_ln"], x, cfg.layer_norm_eps)
+    x = _encoder_stack(params, cfg, x, attention_mask)
+    return x
+
+
+def _encoder_stack(params, cfg, x, attention_mask):
+    for layer in params["layers"]:
+        a = layer["attn"]
+        q = nn.split_heads(nn.linear(a["q"], x), cfg.num_heads)
+        k = nn.split_heads(nn.linear(a["k"], x), cfg.num_heads)
+        v = nn.split_heads(nn.linear(a["v"], x), cfg.num_heads)
+        att = nn.attention(q, k, v, mask=attention_mask)
+        att = nn.linear(a["out"], nn.merge_heads(att))
+        x = nn.layer_norm(a["ln"], x + att, cfg.layer_norm_eps)
+        f = layer["ff"]
+        h = jax.nn.gelu(nn.linear(f["intermediate"], x), approximate=False)
+        h = nn.linear(f["output"], h)
+        x = nn.layer_norm(f["ln"], x + h, cfg.layer_norm_eps)
+    return x
+
+
 def apply_roberta(params, cfg: RobertaConfig, input_ids, attention_mask,
                   bert_style: bool = False, token_type_ids=None):
     """Returns (sequence_output [B, L, D], pooler_output [B, D]).
@@ -90,19 +122,7 @@ def apply_roberta(params, cfg: RobertaConfig, input_ids, attention_mask,
         + type_emb
     )
     x = nn.layer_norm(params["emb_ln"], x, cfg.layer_norm_eps)
-
-    for layer in params["layers"]:
-        a = layer["attn"]
-        q = nn.split_heads(nn.linear(a["q"], x), cfg.num_heads)
-        k = nn.split_heads(nn.linear(a["k"], x), cfg.num_heads)
-        v = nn.split_heads(nn.linear(a["v"], x), cfg.num_heads)
-        att = nn.attention(q, k, v, mask=attention_mask)
-        att = nn.linear(a["out"], nn.merge_heads(att))
-        x = nn.layer_norm(a["ln"], x + att, cfg.layer_norm_eps)
-        f = layer["ff"]
-        h = jax.nn.gelu(nn.linear(f["intermediate"], x), approximate=False)
-        h = nn.linear(f["output"], h)
-        x = nn.layer_norm(f["ln"], x + h, cfg.layer_norm_eps)
+    x = _encoder_stack(params, cfg, x, attention_mask)
 
     pooled = jnp.tanh(nn.linear(params["pooler"], x[:, 0]))
     return x, pooled
