@@ -353,3 +353,77 @@ def apply_legacy_attention_block(p, x, new_order: bool = False):
     out = nn.attention(q, k, v)
     out = nn.conv1d(p["proj_out"], nn.merge_heads(out), padding=0)
     return (xs + out).reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# EncoderUNetModel: half-UNet classifier (reference openaimodel.py:888-1103).
+# A training-era guided-diffusion classifier; never instantiated by any
+# shipped config — provided for inventory completeness.
+# ---------------------------------------------------------------------------
+
+
+def init_encoder_unet(key, cfg: UNetConfig, pool: str = "adaptive"):
+    keys = iter(jax.random.split(key, 256))
+    mc = cfg.model_channels
+    emb_dim = cfg.time_embed_dim
+    p = {
+        "pool": pool,
+        "time_embed": {
+            "lin1": nn.linear_init(next(keys), mc, emb_dim),
+            "lin2": nn.linear_init(next(keys), emb_dim, emb_dim),
+        },
+    }
+    blocks = [{"conv": nn.conv_init(next(keys), 3, 3, cfg.in_channels, mc)}]
+    ch = mc
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            blk = {"res": _resblock_init(next(keys), ch, mult * mc, emb_dim)}
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                blk["attn"] = init_legacy_attention_block(
+                    next(keys), ch, num_head_channels=cfg.num_head_channels
+                )
+            blocks.append(blk)
+        if level != len(cfg.channel_mult) - 1:
+            blocks.append({"downsample": nn.conv_init(next(keys), 3, 3, ch, ch)})
+            ds *= 2
+    p["input_blocks"] = blocks
+    p["middle_block"] = {
+        "res1": _resblock_init(next(keys), ch, ch, emb_dim),
+        "attn": init_legacy_attention_block(
+            next(keys), ch, num_head_channels=cfg.num_head_channels
+        ),
+        "res2": _resblock_init(next(keys), ch, ch, emb_dim),
+    }
+    assert pool == "adaptive", "only the adaptive pooling head is implemented"
+    p["out_norm"] = nn.norm_init(ch)
+    p["out_conv"] = nn.conv_init(next(keys), 1, 1, ch, cfg.out_channels, zero=True)
+    return p
+
+
+def apply_encoder_unet(params, cfg: UNetConfig, x, timesteps):
+    """x: [B, T, F, C] -> logits [B, out_channels] (adaptive pooling)."""
+    t_emb = nn.timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
+    emb = nn.linear(params["time_embed"]["lin1"], t_emb)
+    emb = nn.linear(params["time_embed"]["lin2"], nn.silu(emb))
+
+    h = x
+    for blk in params["input_blocks"]:
+        if "conv" in blk:
+            h = nn.conv2d(blk["conv"], h)
+        elif "downsample" in blk:
+            h = nn.conv2d(blk["downsample"], h, stride=(2, 2), padding=1)
+        else:
+            h = _resblock(blk["res"], h, emb)
+            if "attn" in blk:
+                h = apply_legacy_attention_block(blk["attn"], h)
+    mid = params["middle_block"]
+    h = _resblock(mid["res1"], h, emb)
+    h = apply_legacy_attention_block(mid["attn"], h)
+    h = _resblock(mid["res2"], h, emb)
+
+    h = nn.silu(nn.group_norm(params["out_norm"], h, eps=GN_EPS_RES))
+    h = jnp.mean(h, axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d((1,1))
+    h = nn.conv2d(params["out_conv"], h)
+    return h[:, 0, 0, :]

@@ -152,3 +152,73 @@ def test_legacy_attention_block_parity(rng):
             junet.apply_legacy_attention_block(params, x, new_order=new_order)
         )
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_encoder_unet_parity(rng):
+    """EncoderUNetModel half-UNet classifier (openaimodel.py:888-1103)."""
+    torch = pytest.importorskip("torch")
+    om = _reference.load(
+        "audioldm2.latent_diffusion.modules.diffusionmodules.openaimodel"
+    )
+    cfg = UNetConfig(
+        in_channels=4, out_channels=10, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=16,
+    )
+    # the reference EncoderUNetModel.forward is broken as shipped: it calls
+    # TimestepEmbedSequential without context lists, which crashes on
+    # `[None] + None` (openaimodel.py:84). Give the sequential empty-list
+    # defaults so the golden can run.
+    om.TimestepEmbedSequential.forward.__defaults__ = ([], [])
+    torch.manual_seed(4)
+    ref = om.EncoderUNetModel(
+        image_size=16, in_channels=4, out_channels=10, model_channels=32,
+        num_res_blocks=1, attention_resolutions=[2], channel_mult=[1, 2],
+        num_head_channels=16, pool="adaptive",
+    ).eval()
+    sd = convert.state_dict_to_numpy(ref.state_dict())
+
+    params = {
+        "pool": "adaptive",
+        "time_embed": {
+            "lin1": convert.linear_p(sd, "time_embed.0"),
+            "lin2": convert.linear_p(sd, "time_embed.2"),
+        },
+        "input_blocks": [{"conv": convert.conv2d_p(sd, "input_blocks.0.0")}],
+    }
+    # level 0: res; level boundary: downsample; level 1: res + attn
+    params["input_blocks"].append(
+        {"res": convert._unet_resblock_p(sd, "input_blocks.1.0")}
+    )
+    params["input_blocks"].append(
+        {"downsample": convert.conv2d_p(sd, "input_blocks.2.0.op")}
+    )
+    params["input_blocks"].append(
+        {
+            "res": convert._unet_resblock_p(sd, "input_blocks.3.0"),
+            "attn": {
+                "num_heads": 4,
+                "norm": convert.norm_p(sd, "input_blocks.3.1.norm"),
+                "qkv": convert.conv1d_p(sd, "input_blocks.3.1.qkv"),
+                "proj_out": convert.conv1d_p(sd, "input_blocks.3.1.proj_out"),
+            },
+        }
+    )
+    params["middle_block"] = {
+        "res1": convert._unet_resblock_p(sd, "middle_block.0"),
+        "attn": {
+            "num_heads": 4,
+            "norm": convert.norm_p(sd, "middle_block.1.norm"),
+            "qkv": convert.conv1d_p(sd, "middle_block.1.qkv"),
+            "proj_out": convert.conv1d_p(sd, "middle_block.1.proj_out"),
+        },
+        "res2": convert._unet_resblock_p(sd, "middle_block.2"),
+    }
+    params["out_norm"] = convert.norm_p(sd, "out.0")
+    params["out_conv"] = convert.conv2d_p(sd, "out.3")
+
+    x = rng.standard_normal((2, 16, 8, 4)).astype(np.float32)
+    ts = np.array([5.0, 100.0], np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(ts)).numpy()
+    got = np.asarray(junet.apply_encoder_unet(params, cfg, x, ts))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
