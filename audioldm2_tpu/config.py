@@ -162,9 +162,14 @@ class UNetConfig:
 @dataclass(frozen=True)
 class CLAPConfig:
     """CLAP text/audio embedder (reference encoders/modules.py:546-745 +
-    clap/ subtree; HTSAT-base audio tower + RoBERTa text tower)."""
+    clap/ subtree). Tower variants are config-selectable via ``amodel`` /
+    ``tmodel`` — the typed analogue of the reference JSON model-config
+    registry (clap/open_clip/factory.py:23-50); see
+    ``models/clap.py:AUDIO_TOWERS/TEXT_TOWERS``."""
 
     embed_mode: str = "text"  # "text" | "audio"
+    amodel: str = "HTSAT-base"  # HTSAT-tiny|HTSAT-base|HTSAT-large|PANN-14|PANN-10
+    tmodel: str = "roberta"  # roberta | bert | bart | transformer
     sampling_rate: int = 48000
     embed_dim: int = 512
     # HTSAT-base (reference clap/open_clip/model_configs/HTSAT-base.json)

@@ -2,49 +2,126 @@
 
 Re-design of the reference CLAP wrapper + open_clip model (reference
 ``encoders/modules.py:546-745``, ``clap/open_clip/model.py:419-778``):
-RoBERTa text tower -> pooler -> MLP projection -> L2 normalize (512-d joint
-space); HTSAT Swin audio tower -> MLP projection -> normalize. Unlike the
-reference — which pins CLAP to the CPU (modules.py:560) and pulls waveforms
-back to host for reranking — everything here runs on device inside the
-jitted program.
+config-selectable audio tower (HTSAT Swin variants / PANN CNNs) and text
+tower (RoBERTa / BERT / BART / CLIP transformer), each projected through a
+2-layer MLP into the 512-d joint space and L2-normalized. The tower
+registry replaces the reference's JSON model-config registry
+(``clap/open_clip/factory.py:23-50`` + ``model_configs/*.json``); variants
+are selected by ``CLAPConfig.amodel`` / ``CLAPConfig.tmodel``.
+
+Unlike the reference — which pins CLAP to the CPU (modules.py:560) and
+pulls waveforms back to host for reranking — everything here runs on device
+inside the jitted program.
 """
 
 from __future__ import annotations
+
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from audioldm2_tpu.config import CLAPConfig
+from audioldm2_tpu.models import clip_text as clip_m
 from audioldm2_tpu.models import roberta as roberta_m
 from audioldm2_tpu.ops import nn
 
-ROBERTA = roberta_m.RobertaConfig()
+# ---------------------------------------------------------------------------
+# Tower registries (reference clap/open_clip/factory.py:23-50 JSON registry;
+# HTSAT size variants htsat.py:1257-1299; PANN variants pann_model.py:167+).
+# Audio entry: (lazy config thunk, embedding width feeding audio_projection).
+# Tests may register tiny variants via register_audio_tower/register_text_tower.
+# ---------------------------------------------------------------------------
+
+
+def _htsat_cfg(**kw):
+    from audioldm2_tpu.models import htsat
+
+    return htsat.HTSATConfig(**kw)
+
+
+def _pann_cfg(**kw):
+    from audioldm2_tpu.models import pann
+
+    return pann.PANNConfig(**kw)
+
+
+AUDIO_TOWERS: Dict[str, Tuple[object, int]] = {
+    # name: (config factory, embedding width)
+    "HTSAT-tiny": (lambda: _htsat_cfg(embed_dim=96, depths=(2, 2, 6, 2)), 768),
+    "HTSAT-base": (lambda: _htsat_cfg(), 1024),
+    "HTSAT-large": (lambda: _htsat_cfg(embed_dim=256), 2048),
+    "PANN-14": (lambda: _pann_cfg(), 2048),
+    "PANN-10": (lambda: _pann_cfg(variant="cnn10", embed_dim=1024), 1024),
+}
+
+TEXT_TOWERS: Dict[str, Tuple[object, int]] = {
+    # name: (config factory, projection input width — reference model.py:485-545)
+    "roberta": (lambda: roberta_m.RobertaConfig(), 768),
+    "bert": (
+        lambda: roberta_m.RobertaConfig(
+            vocab_size=30522, max_position_embeddings=512, type_vocab_size=2,
+            pad_token_id=0,
+        ),
+        768,
+    ),
+    "bart": (lambda: roberta_m.RobertaConfig(max_position_embeddings=1026), 768),
+    "transformer": (lambda: clip_m.CLIPTextConfig(), 512),
+}
+
+
+def register_audio_tower(name: str, cfg_factory, width: int):
+    AUDIO_TOWERS[name] = (cfg_factory, width)
+
+
+def register_text_tower(name: str, cfg_factory, width: int):
+    TEXT_TOWERS[name] = (cfg_factory, width)
+
+
+def audio_tower(cfg: CLAPConfig):
+    factory, width = AUDIO_TOWERS[cfg.amodel]
+    return factory(), width
+
+
+def text_tower(cfg: CLAPConfig):
+    factory, width = TEXT_TOWERS[cfg.tmodel]
+    return factory(), width
+
+
+# ---------------------------------------------------------------------------
 
 
 def init_clap(key, cfg: CLAPConfig):
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    params = {
-        "text_branch": roberta_m.init_roberta(k1, ROBERTA),
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    tcfg, twidth = text_tower(cfg)
+    acfg, awidth = audio_tower(cfg)
+    if cfg.tmodel == "transformer":
+        text_branch = clip_m.init_clip_text(k1, tcfg)
+    else:
+        text_branch = roberta_m.init_roberta(k1, tcfg)
+    if cfg.amodel.startswith("HTSAT"):
+        from audioldm2_tpu.models import htsat
+
+        audio_branch = htsat.init_htsat(k6, acfg)
+    else:
+        from audioldm2_tpu.models import pann
+
+        audio_branch = pann.init_pann(k6, acfg)
+    return {
+        "text_branch": text_branch,
         "text_projection": {
-            "lin1": nn.linear_init(k2, ROBERTA.hidden_size, cfg.embed_dim),
+            "lin1": nn.linear_init(k2, twidth, cfg.embed_dim),
             "lin2": nn.linear_init(k3, cfg.embed_dim, cfg.embed_dim),
         },
         "audio_projection": {
-            # HTSAT-base latent embedding is 1024-d (HTSAT-base.json embed_dim)
-            "lin1": nn.linear_init(k4, 1024, cfg.embed_dim),
+            "lin1": nn.linear_init(k4, awidth, cfg.embed_dim),
             "lin2": nn.linear_init(k5, cfg.embed_dim, cfg.embed_dim),
         },
         "logit_scale_a": jnp.asarray(np.log(1 / 0.07), jnp.float32),
         "logit_scale_t": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+        "audio_branch": audio_branch,
     }
-    try:
-        from audioldm2_tpu.models import htsat
-
-        params["audio_branch"] = htsat.init_htsat(jax.random.fold_in(key, 7))
-    except (ImportError, AttributeError):
-        params["audio_branch"] = None
-    return params
 
 
 def _project(p, x):
@@ -56,20 +133,40 @@ def _normalize(x):
 
 
 def text_embedding(params, cfg: CLAPConfig, input_ids, attention_mask):
-    """RoBERTa pooler -> MLP projection -> L2 norm. Returns [B, 1, 512]
-    (the reference returns embed.unsqueeze(1), modules.py:730)."""
-    _, pooled = roberta_m.apply_roberta(
-        params["text_branch"], ROBERTA, input_ids, attention_mask
-    )
+    """Text tower -> pooling per branch type (reference model.py:629-678)
+    -> MLP projection -> L2 norm. Returns [B, 1, 512] (the reference returns
+    embed.unsqueeze(1), modules.py:730)."""
+    tcfg, _ = text_tower(cfg)
+    if cfg.tmodel == "transformer":
+        pooled = clip_m.apply_clip_text(params["text_branch"], tcfg, input_ids)
+    elif cfg.tmodel == "bert":
+        _, pooled = roberta_m.apply_roberta(
+            params["text_branch"], tcfg, input_ids, attention_mask, bert_style=True
+        )
+    elif cfg.tmodel == "bart":
+        hidden = roberta_m.apply_bart_encoder(
+            params["text_branch"], tcfg, input_ids, attention_mask
+        )
+        pooled = jnp.mean(hidden, axis=1)
+    else:  # roberta
+        _, pooled = roberta_m.apply_roberta(
+            params["text_branch"], tcfg, input_ids, attention_mask
+        )
     emb = _normalize(_project(params["text_projection"], pooled))
     return emb[:, None, :]
 
 
 def audio_embedding(params, cfg: CLAPConfig, waveform_48k):
-    """HTSAT embedding -> MLP projection -> L2 norm. waveform_48k: [B, N]."""
-    from audioldm2_tpu.models import htsat
+    """Audio tower embedding -> MLP projection -> L2 norm. waveform_48k: [B, N]."""
+    acfg, _ = audio_tower(cfg)
+    if cfg.amodel.startswith("HTSAT"):
+        from audioldm2_tpu.models import htsat
 
-    feats = htsat.encode(params["audio_branch"], waveform_48k)
+        feats = htsat.encode(params["audio_branch"], waveform_48k, acfg)
+    else:
+        from audioldm2_tpu.models import pann
+
+        feats = pann.encode(params["audio_branch"], waveform_48k, acfg)["embedding"]
     return _normalize(_project(params["audio_projection"], feats))
 
 
@@ -82,14 +179,14 @@ def cos_similarity(audio_emb, text_emb):
 
 
 def cos_similarity_waveform_text(params, cfg, wav, text, tokenizer, sampling_rate):
-    """Host-coordinated rerank scorer: resample to 48k, embed audio + text,
-    cosine similarity. Returns np.ndarray [B]."""
+    """Host-coordinated rerank scorer: resample to the CLAP rate, embed audio
+    + text, cosine similarity. Returns np.ndarray [B]."""
     from audioldm2_tpu.utils.audio_io import resample
 
     wav = np.asarray(wav)
     if wav.ndim == 3:
         wav = wav[:, 0]
-    wav48 = resample(wav, sampling_rate, 48000)
+    wav48 = resample(wav, sampling_rate, cfg.sampling_rate)
     clip = cfg.clip_samples
     if wav48.shape[-1] < clip:
         # "repeatpad" data_filling (reference clap/training/data.py:421-450):

@@ -1,10 +1,12 @@
-"""PANN CNN14 audio encoder — functional JAX.
+"""PANN CNN14 / CNN10 audio encoders — functional JAX.
 
-Alternative CLAP audio tower (config-selectable, not used by the shipped
-checkpoints; reference ``clap/open_clip/pann_model.py:167-440``): a 6-stage
-VGG-style conv stack (64->2048 channels, 2x2 avg-pool per stage) over the
-same torchlibrosa-style log-mel frontend, then (max+mean over time) ->
-fc1 -> embedding. BatchNorms run with stored running stats (eval mode).
+Alternative CLAP audio towers (config-selectable, not used by the shipped
+checkpoints; reference ``clap/open_clip/pann_model.py:167-440`` Cnn14 and
+``:550-672`` Cnn10): VGG-style conv stacks (6 stages 64->2048 for CNN14,
+5 stages 64->1024 for CNN10; 2x2 avg-pool per stage, CNN14's last stage
+unpooled) over the same torchlibrosa-style log-mel frontend, then
+(max+mean over time) -> fc1 -> embedding. BatchNorms run with stored
+running stats (eval mode).
 """
 
 from __future__ import annotations
@@ -29,6 +31,22 @@ class PANNConfig:
     fmax: float = 14000.0
     embed_dim: int = 2048
     num_classes: int = 527
+    variant: str = "cnn14"  # "cnn14" | "cnn10"
+    # explicit stage widths (tests use tiny stacks); None = per-variant default
+    channels_override: tuple = None
+
+    @property
+    def channels(self):
+        if self.channels_override is not None:
+            return self.channels_override
+        return (64, 128, 256, 512, 1024) if self.variant == "cnn10" else CHANNELS
+
+    @property
+    def pools(self):
+        # Cnn14 leaves its last stage unpooled (pann_model.py forward);
+        # Cnn10 pools every stage (pann_model.py:594-604).
+        n = len(self.channels)
+        return tuple(2 if (self.variant == "cnn10" or i < n - 1) else 1 for i in range(n))
 
 
 CHANNELS = (64, 128, 256, 512, 1024, 2048)
@@ -51,7 +69,7 @@ def init_pann(key, cfg: PANNConfig = PANNConfig()):
     keys = iter(jax.random.split(key, 32))
     blocks = []
     cin = 1
-    for cout in CHANNELS:
+    for cout in cfg.channels:
         conv1 = nn.conv_init(next(keys), 3, 3, cin, cout)
         conv2 = nn.conv_init(next(keys), 3, 3, cout, cout)
         del conv1["b"], conv2["b"]  # torch convs are bias-free here
@@ -62,7 +80,7 @@ def init_pann(key, cfg: PANNConfig = PANNConfig()):
     return {
         "bn0": _bn_init(cfg.mel_bins),
         "blocks": blocks,
-        "fc1": nn.linear_init(next(keys), CHANNELS[-1], cfg.embed_dim),
+        "fc1": nn.linear_init(next(keys), cfg.channels[-1], cfg.embed_dim),
         "fc_audioset": nn.linear_init(next(keys), cfg.embed_dim, cfg.num_classes),
     }
 
@@ -98,8 +116,8 @@ def encode(params, wav, cfg: PANNConfig = PANNConfig()):
     x = _bn(params["bn0"], x)  # per-mel-bin batchnorm (pann_model.py:289-291)
     x = x[..., None]  # [B, T, M, 1]
 
-    for i, blk in enumerate(params["blocks"]):
-        x = _conv_block(blk, x, pool=2 if i < 5 else 1)
+    for blk, pool in zip(params["blocks"], cfg.pools):
+        x = _conv_block(blk, x, pool=pool)
 
     x = jnp.mean(x, axis=2)  # mean over mel axis -> [B, T', C]
     x1 = jnp.max(x, axis=1)

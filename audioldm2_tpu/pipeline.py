@@ -40,6 +40,23 @@ def _t5_max_length(cfg: ModelConfig) -> int:
     return walk(cfg.conditioners) or 128
 
 
+def _first_clap_cfg(cfg: ModelConfig):
+    """CLAP config of the first clap conditioner (nested included) — decides
+    which text tokenizer feeds the ``clap_ids`` batch entries."""
+    def walk(specs):
+        for s in specs:
+            if s.kind == "clap" and s.clap is not None:
+                return s.clap
+            got = walk(s.nested)
+            if got is not None:
+                return got
+        return None
+
+    from audioldm2_tpu.config import CLAPConfig
+
+    return walk(cfg.conditioners) or cfg.reranker_clap or CLAPConfig()
+
+
 def round_up_duration(duration: float) -> float:
     """Round duration up to the 2.5 s grid (reference pipeline.py:124-125)."""
     return float(int(round(duration / 2.5) + 1) * 2.5)
@@ -65,18 +82,25 @@ def init_params(key, cfg: ModelConfig) -> Dict:
     import jax.numpy as jnp
 
     with jax.default_device(jax.devices("cpu")[0]):
-        k_unet, k_vae, k_voc, k_cond = jax.random.split(key, 4)
+        k_unet, k_vae, k_voc, k_cond, k_rr = jax.random.split(key, 5)
         cond_params = {}
         cond_keys = jax.random.split(k_cond, max(len(cfg.conditioners), 1))
         for spec, ck in zip(cfg.conditioners, cond_keys):
             cond_params[spec.name] = conditioners.init_conditioner(ck, spec)
-        return {
+        params = {
             "unet": unet_m.init_unet(k_unet, cfg.unet),
             "vae": vae_m.init_vae(k_vae, cfg.vae),
             "vocoder": voc_m.init_vocoder(k_voc, cfg.vocoder),
             "cond": cond_params,
             "scale_factor": jnp.asarray(1.0, jnp.float32),
         }
+        if cfg.reranker_clap is not None:
+            # DDPM-level CLAP used for candidate reranking (reference
+            # ddpm.py:114-120 builds it unconditionally).
+            from audioldm2_tpu.models import clap as clap_model
+
+            params["reranker_clap"] = clap_model.init_clap(k_rr, cfg.reranker_clap)
+        return params
 
 
 def load_checkpoint_params(ckpt_path: str, cfg: ModelConfig) -> Dict:
@@ -111,6 +135,10 @@ def load_checkpoint_params(ckpt_path: str, cfg: ModelConfig) -> Dict:
             params["cond"][spec.name] = convert_cond.convert_conditioner(
                 sd, spec, prefix
             )
+    if cfg.reranker_clap is not None and any(k.startswith("clap.model.") for k in sd):
+        # The DDPM-level reranker CLAP ships in the monolithic checkpoint
+        # under the "clap." prefix (reference ddpm.py:114-120).
+        params["reranker_clap"] = convert.convert_clap(sd, "clap.model.")
     return params
 
 
@@ -128,7 +156,12 @@ class AudioLDM2:
             if any(s.kind == "flan_t5" or s.kind == "sequence_gen" for s in cfg.conditioners)
             else None
         )
-        self.clap_tok = text_utils.roberta_tokenizer()
+        self.clap_tok = text_utils.clap_tokenizer(_first_clap_cfg(cfg))
+        self.reranker_tok = (
+            text_utils.clap_tokenizer(cfg.reranker_clap)
+            if cfg.reranker_clap is not None
+            else self.clap_tok
+        )
         self.mel = MelSpectrogram(
             filter_length=cfg.preprocessing.filter_length,
             hop_length=cfg.preprocessing.hop_length,
@@ -243,22 +276,33 @@ def rerank_and_select(
 ) -> np.ndarray:
     """CLAP cosine-similarity reranking over candidates (reference
     ddpm.py:1554-1568). Falls back to the first candidate when no reranker
-    weights are present."""
+    weights are present — loudly, since the user paid for n_gen candidates."""
     if n_gen <= 1:
         return wav
     reranker = model.ldm.params.get("reranker_clap")
     if reranker is None:
+        import warnings
+
+        warnings.warn(
+            "n_candidate_gen_per_text > 1 but no CLAP reranker weights are "
+            "loaded (checkpoint had no 'clap.model.*' keys or "
+            "cfg.reranker_clap is None): returning candidate #1 un-reranked.",
+            stacklevel=2,
+        )
         return wav[:batchsize]
     from audioldm2_tpu.models import clap as clap_model
 
     sim = clap_model.cos_similarity_waveform_text(
-        reranker, model.cfg.reranker_clap, wav, text, model.clap_tok,
+        reranker, model.cfg.reranker_clap, wav, text, model.reranker_tok,
         model.cfg.preprocessing.sampling_rate,
     )
     best = []
     for i in range(batchsize):
         candidates = sim[i::batchsize]
         best.append(i + int(np.argmax(candidates)) * batchsize)
+    print("Similarity between generated audio and text:")
+    print(" ".join("{:.2f}".format(float(s)) for s in sim))
+    print("Choose the following indexes as the output:", best)
     return wav[best]
 
 

@@ -60,7 +60,12 @@ def _whitespace_clean(text: str) -> str:
 
 DEFAULT_VOCAB_PATHS = (
     os.getenv("AUDIOLDM2_BPE_VOCAB", ""),
-    "/root/reference/audioldm2/clap/open_clip/bpe_simple_vocab_16e6.txt.gz",
+    # vendored canonical OpenAI CLIP BPE vocab (data, shipped with the package)
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        "bpe_simple_vocab_16e6.txt.gz",
+    ),
 )
 
 

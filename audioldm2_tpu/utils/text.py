@@ -99,6 +99,37 @@ def roberta_tokenizer(max_length: int = 512) -> TextTokenizer:
     return TextTokenizer("roberta-base", 50265, max_length)
 
 
+def bert_tokenizer(max_length: int = 512) -> TextTokenizer:
+    return TextTokenizer("bert-base-uncased", 30522, max_length)
+
+
+class _ClipBPETokenizer:
+    """CLIP BPE tokenizer adapted to the (ids, mask) tokenizer interface
+    (the transformer text branch ignores the mask — it uses a causal mask
+    and pools at the EOT position, reference model.py:630-642)."""
+
+    def __init__(self, context_length: int = 77):
+        from audioldm2_tpu.utils import bpe
+
+        self.tok = bpe.SimpleTokenizer(context_length=context_length)
+
+    def __call__(self, texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        ids = np.asarray(self.tok(texts), np.int32)
+        return ids, (ids != 0).astype(np.int32)
+
+
+def clap_tokenizer(clap_cfg) -> object:
+    """Tokenizer matching the CLAP text tower variant
+    (reference model.py:497-545: roberta/bert/bart use HF tokenizers,
+    "transformer" uses the CLIP BPE tokenizer)."""
+    if clap_cfg.tmodel == "transformer":
+        return _ClipBPETokenizer()
+    if clap_cfg.tmodel == "bert":
+        return bert_tokenizer(clap_cfg.text_max_length)
+    # roberta and bart share the roberta-base vocab
+    return roberta_tokenizer(clap_cfg.text_max_length)
+
+
 # ---------------------------------------------------------------------------
 # VITS phoneme pipeline
 # ---------------------------------------------------------------------------
