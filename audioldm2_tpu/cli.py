@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-gs", "--guidance_scale", type=float, default=3.5)
     parser.add_argument("-dur", "--duration", type=float, default=10.0)
     parser.add_argument("-n", "--n_candidate_gen_per_text", type=int, default=3)
+    parser.add_argument(
+        "--sampler", type=str, default="ddim", choices=["ddim", "plms", "ddpm"],
+        help="ddim (default) | plms | ddpm (full 1000-step ancestral) — "
+        "the reference sample_log choices (ddpm.py:1417-1474)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("-f", "--file_path", type=str, default=None,
                         help="input audio for sr_inpainting")
@@ -119,6 +124,7 @@ def main(argv=None) -> int:
                 ddim_steps=args.ddim_steps,
                 n_candidate_gen_per_text=args.n_candidate_gen_per_text,
                 batchsize=args.batchsize,
+                sampler=args.sampler,
             )
         else:
             assert args.file_path is not None and os.path.exists(args.file_path), (
@@ -135,6 +141,7 @@ def main(argv=None) -> int:
                 ddim_steps=args.ddim_steps,
                 n_candidate_gen_per_text=args.n_candidate_gen_per_text,
                 batchsize=args.batchsize,
+                sampler=args.sampler,
             )
         save_wave(waveform, save_path, name=name, samplerate=sample_rate)
     return 0

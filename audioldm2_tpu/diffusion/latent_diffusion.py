@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audioldm2_tpu.config import ModelConfig
-from audioldm2_tpu.diffusion import ddim, plms
+from audioldm2_tpu.diffusion import ddim, ddpm_ancestral, plms
 from audioldm2_tpu.diffusion.schedule import DiffusionSchedule
 from audioldm2_tpu.models import conditioners, unet, vae, vocoder
 
@@ -113,7 +113,7 @@ def _generate_impl(
     ddim_steps: int,
     ddim_eta: float,
     use_mask: bool,
-    use_plms: bool = False,
+    sampler: str = "ddim",
 ):
     (y, contexts, masks), bsz, cfg_on = encode_conditioning(
         params, cfg, batch, n_gen, guidance
@@ -147,7 +147,7 @@ def _generate_impl(
     else:
         eps_fn = model_fn
 
-    assert not (use_plms and use_mask), (
+    assert not (sampler == "plms" and use_mask), (
         "PLMS does not support mask inpainting (reference parity)"
     )
     mask = x0 = None
@@ -155,13 +155,21 @@ def _generate_impl(
         mask = _tile(batch["inpaint_mask"], n_gen)
         x0 = _tile(batch["inpaint_x0"], n_gen)
 
-    if use_plms:
+    # sampler selection mirrors reference sample_log (ddpm.py:1417-1474):
+    # DDIM / PLMS / full ancestral DDPM.
+    if sampler == "plms":
         z = plms.plms_sample(eps_fn, key, shape, schedule, num_steps=ddim_steps)
-    else:
+    elif sampler == "ddpm":
+        z = ddpm_ancestral.ddpm_sample(
+            eps_fn, key, shape, schedule, mask=mask, x0=x0
+        )
+    elif sampler == "ddim":
         z = ddim.ddim_sample(
             eps_fn, key, shape, schedule,
             num_steps=ddim_steps, eta=ddim_eta, mask=mask, x0=x0,
         )
+    else:
+        raise ValueError(f"unknown sampler {sampler!r} (ddim|plms|ddpm)")
     z = z / params["scale_factor"]
     mel = vae.decode(cast_tree(params["vae"]), cfg.vae, z.astype(cdtype))
     wav = vocoder.apply_vocoder(
@@ -186,7 +194,7 @@ class LatentDiffusionModel:
             functools.partial(_generate_impl, cfg=cfg, schedule=self.schedule),
             static_argnames=(
                 "latent_t_size", "n_gen", "guidance", "ddim_steps", "ddim_eta",
-                "use_mask", "use_plms",
+                "use_mask", "sampler",
             ),
         )
 
@@ -206,7 +214,7 @@ class LatentDiffusionModel:
         ddim_steps: int = 200,
         ddim_eta: float = 1.0,
         use_mask: bool = False,
-        use_plms: bool = False,
+        sampler: str = "ddim",
     ):
         """Returns (waveform [B*n_gen, N] np.float32, mel)."""
         wav, mel = self._generate_jit(
@@ -219,6 +227,6 @@ class LatentDiffusionModel:
             ddim_steps=int(ddim_steps),
             ddim_eta=float(ddim_eta),
             use_mask=use_mask,
-            use_plms=use_plms,
+            sampler=str(sampler),
         )
         return np.asarray(wav), np.asarray(mel)

@@ -51,6 +51,13 @@ class DiffusionSchedule:
     alphas_cumprod_prev: np.ndarray
     sqrt_alphas_cumprod: np.ndarray
     sqrt_one_minus_alphas_cumprod: np.ndarray
+    # posterior q(x_{t-1} | x_t, x_0) for ancestral sampling
+    # (reference ddpm.py:259-303; v_posterior = 0)
+    sqrt_recip_alphas_cumprod: np.ndarray
+    sqrt_recipm1_alphas_cumprod: np.ndarray
+    posterior_mean_coef1: np.ndarray
+    posterior_mean_coef2: np.ndarray
+    posterior_log_variance_clipped: np.ndarray
 
     @property
     def num_timesteps(self) -> int:
@@ -67,12 +74,24 @@ class DiffusionSchedule:
         alphas = 1.0 - betas
         acum = np.cumprod(alphas)
         acum_prev = np.append(1.0, acum[:-1])
+        posterior_variance = betas * (1.0 - acum_prev) / (1.0 - acum)
         return DiffusionSchedule(
             betas=betas.astype(np.float32),
             alphas_cumprod=acum.astype(np.float32),
             alphas_cumprod_prev=acum_prev.astype(np.float32),
             sqrt_alphas_cumprod=np.sqrt(acum).astype(np.float32),
             sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - acum).astype(np.float32),
+            sqrt_recip_alphas_cumprod=np.sqrt(1.0 / acum).astype(np.float32),
+            sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / acum - 1.0).astype(np.float32),
+            posterior_mean_coef1=(
+                betas * np.sqrt(acum_prev) / (1.0 - acum)
+            ).astype(np.float32),
+            posterior_mean_coef2=(
+                (1.0 - acum_prev) * np.sqrt(alphas) / (1.0 - acum)
+            ).astype(np.float32),
+            posterior_log_variance_clipped=np.log(
+                np.maximum(posterior_variance, 1e-20)
+            ).astype(np.float32),
         )
 
 

@@ -63,7 +63,7 @@ class ShardedGenerator:
             ),
             static_argnames=(
                 "latent_t_size", "n_gen", "guidance", "ddim_steps", "ddim_eta",
-                "use_mask", "use_plms",
+                "use_mask", "sampler",
             ),
         )
         with jax.set_mesh(self.mesh):

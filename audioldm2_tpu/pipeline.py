@@ -57,9 +57,37 @@ def _first_clap_cfg(cfg: ModelConfig):
     return walk(cfg.conditioners) or cfg.reranker_clap or CLAPConfig()
 
 
-def round_up_duration(duration: float) -> float:
-    """Round duration up to the 2.5 s grid (reference pipeline.py:124-125)."""
-    return float(int(round(duration / 2.5) + 1) * 2.5)
+def round_up_duration(duration: float, bucket: float = 2.5) -> float:
+    """Snap duration up to the bucket grid (default 2.5 s).
+
+    The reference defines (but never calls) a helper that always adds one
+    extra bucket (reference pipeline.py:124-125); here the grid is a true
+    ceiling so a 10 s request compiles the 10 s program. On TPU every
+    distinct latent_T is a separate XLA compilation — bucketing keeps the
+    compiled-geometry set small ({2.5, 5, 7.5, 10, ...} s; latent_T grid of
+    64 for the 16 kHz family, 32 for 48 kHz). The generated waveform is
+    trimmed back to the exact requested duration.
+    """
+    import math
+
+    n = math.ceil(round(duration / bucket, 6))
+    return float(max(n, 1) * bucket)
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None):
+    """Persistent XLA compilation cache: a second process reusing a cached
+    geometry skips the 100 s+ warmup. Safe to call repeatedly."""
+    cache_dir = cache_dir or os.environ.get(
+        "AUDIOLDM2_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "audioldm2_tpu", "xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is an optimization, never a hard failure
+        print(f"WARNING: persistent compilation cache disabled: {e}")
 
 
 def seed_everything(seed: int):
@@ -226,6 +254,7 @@ def build_model(
     (zero-egress environments have no checkpoints; all structure and
     performance paths are identical)."""
     cfg = config if isinstance(config, ModelConfig) else default_audioldm_config(model_name)
+    enable_compilation_cache()
     if ckpt_path is not None and os.path.exists(ckpt_path):
         params = load_checkpoint_params(ckpt_path, cfg)
         import jax.numpy as jnp
@@ -250,13 +279,24 @@ def text_to_audio(
     n_candidate_gen_per_text: int = 3,
     latent_t_per_second: float = 25.6,
     config=None,
+    sampler: str = "ddim",
+    duration_bucket: Optional[float] = 2.5,
 ) -> np.ndarray:
     """Reference-compatible generation API (reference pipeline.py:181-211).
+
+    ``sampler``: "ddim" (default) | "plms" | "ddpm" (full 1000-step
+    ancestral) — the reference's sample_log choices (ddpm.py:1417-1474).
+    ``duration_bucket``: generation runs at the bucketed duration (compile
+    once per bucket) and the waveform is trimmed to the exact request;
+    None disables bucketing.
 
     Returns waveform [batchsize, 1, N] float32 in [-1, 1]."""
     key = seed_everything(seed)
     batch = model.make_batch(text, transcription=transcription, batchsize=batchsize)
-    latent_t_size = int(duration * model.cfg.latent_t_per_second)
+    gen_duration = (
+        round_up_duration(duration, duration_bucket) if duration_bucket else duration
+    )
+    latent_t_size = int(gen_duration * model.cfg.latent_t_per_second)
 
     wav, _ = model.ldm.generate(
         batch,
@@ -265,6 +305,7 @@ def text_to_audio(
         n_gen=n_candidate_gen_per_text,
         guidance=guidance_scale,
         ddim_steps=ddim_steps,
+        sampler=sampler,
     )
     wav = rerank_and_select(model, wav, text, batchsize, n_candidate_gen_per_text)
     n_samples = int(duration * model.cfg.preprocessing.sampling_rate)
@@ -321,6 +362,7 @@ def super_resolution_and_inpainting(
     freq_mask_ratio_start_and_end=(1.0, 1.0),
     latent_t_per_second: float = 25.6,
     config=None,
+    sampler: str = "ddim",
 ) -> np.ndarray:
     """Reference-compatible SR/inpainting (reference pipeline.py:213-267,
     ddpm.py:1573-1676): encode the real mel, build the latent time/freq
@@ -361,6 +403,7 @@ def super_resolution_and_inpainting(
         guidance=guidance_scale,
         ddim_steps=ddim_steps,
         use_mask=True,
+        sampler=sampler,
     )
     wav = rerank_and_select(model, wav, text, batchsize, n_candidate_gen_per_text)
     n_samples = int(duration * sr)

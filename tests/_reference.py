@@ -74,12 +74,32 @@ def install_shims():
     _ensure_module("librosa.filters", mel=_mel)
     _ensure_module("timm")
     _ensure_module("timm.models")
+    sys.modules["timm.models"].__path__ = []
     _ensure_module("timm.models.layers", to_2tuple=lambda x: (x, x) if not isinstance(x, tuple) else x, DropPath=object, trunc_normal_=lambda *a, **k: None)
+    try:
+        import torch as _torch
+
+        class _VisionTransformer(_torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        _ensure_module(
+            "timm.models.vision_transformer",
+            VisionTransformer=_VisionTransformer,
+            PatchEmbed=_torch.nn.Module,
+            Block=_torch.nn.Module,
+        )
+    except ImportError:
+        pass
     _ensure_module("phonemizer", phonemize=lambda *a, **k: "")
     try:
         import torch
 
         _ensure_module("torchvision")
+        # plain ModuleType is not a package; give it a path so
+        # `import torchvision.datasets` resolves to the shim
+        sys.modules["torchvision"].__path__ = []
+        _ensure_module("torchvision.datasets")
         _ensure_module("torchvision.ops")
         _ensure_module(
             "torchvision.ops.misc", FrozenBatchNorm2d=torch.nn.BatchNorm2d
@@ -94,6 +114,30 @@ def install_shims():
         )
     except ImportError:
         pass
+    # The reference clap/training/data.py instantiates a RobertaTokenizer at
+    # module import (data.py:40) — impossible offline. encoders/modules.py
+    # only needs get_audio_features from it; stub the module before the real
+    # one can be imported (training-only code otherwise).
+    def _get_audio_features(sample, audio_data, max_len, data_truncating,
+                            data_filling, audio_cfg):
+        sample["waveform"] = audio_data[..., :max_len]
+        return sample
+
+    import os as _os
+
+    _ref_pkg = _os.path.join(REFERENCE_ROOT, "audioldm2")
+    # real package paths so sibling submodules keep importing from the tree
+    _ensure_module("audioldm2", __path__=[_ref_pkg])
+    _ensure_module("audioldm2.clap", __path__=[_os.path.join(_ref_pkg, "clap")])
+    _ensure_module(
+        "audioldm2.clap.training",
+        __path__=[_os.path.join(_ref_pkg, "clap", "training")],
+    )
+    _ensure_module(
+        "audioldm2.clap.training.data",
+        get_audio_features=_get_audio_features,
+        tokenizer=lambda text: text,
+    )
     _ensure_module("unidecode", unidecode=lambda s: s)
     _ensure_module("ftfy", fix_text=lambda s: s)
     _ensure_module("regex", compile=__import__("re").compile, sub=__import__("re").sub)

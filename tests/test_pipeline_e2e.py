@@ -42,6 +42,7 @@ def test_text_to_audio(tiny_model):
         batchsize=1,
         guidance_scale=3.5,
         n_candidate_gen_per_text=2,
+        duration_bucket=None,
     )
     assert wav.shape == (1, 1, 1024)  # 0.5 s @ 1600 Hz
     assert np.isfinite(wav).all()
@@ -49,7 +50,7 @@ def test_text_to_audio(tiny_model):
 
 
 def test_text_to_audio_deterministic_per_seed(tiny_model):
-    kw = dict(ddim_steps=4, duration=0.64, n_candidate_gen_per_text=1)
+    kw = dict(ddim_steps=4, duration=0.64, n_candidate_gen_per_text=1, duration_bucket=None)
     a = pipeline.text_to_audio(tiny_model, "rain", seed=7, **kw)
     b = pipeline.text_to_audio(tiny_model, "rain", seed=7, **kw)
     c = pipeline.text_to_audio(tiny_model, "rain", seed=8, **kw)
@@ -58,7 +59,7 @@ def test_text_to_audio_deterministic_per_seed(tiny_model):
 
 
 def test_prompt_changes_output(tiny_model):
-    kw = dict(seed=7, ddim_steps=4, duration=0.64, n_candidate_gen_per_text=1)
+    kw = dict(seed=7, ddim_steps=4, duration=0.64, n_candidate_gen_per_text=1, duration_bucket=None)
     a = pipeline.text_to_audio(tiny_model, "rain falling", **kw)
     b = pipeline.text_to_audio(tiny_model, "a trumpet solo", **kw)
     assert np.abs(a - b).max() > 1e-6
@@ -87,6 +88,6 @@ def test_sr_inpainting(tiny_model, tmp_path):
 def test_batchsize_two(tiny_model):
     wav = pipeline.text_to_audio(
         tiny_model, "wind", seed=2, ddim_steps=4, duration=0.64,
-        batchsize=2, n_candidate_gen_per_text=2,
+        batchsize=2, n_candidate_gen_per_text=2, duration_bucket=None,
     )
     assert wav.shape == (2, 1, 1024)

@@ -130,6 +130,7 @@ def test_tts_family_e2e(tts_model, monkeypatch):
         ddim_steps=4,
         duration=0.64,
         n_candidate_gen_per_text=1,
+        duration_bucket=None,
     )
     assert wav.shape == (1, 1, 1024)
     assert np.isfinite(wav).all()

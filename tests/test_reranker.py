@@ -67,7 +67,7 @@ def test_rerank_selects_argmax_candidate(reranked_model):
     n_gen, steps, duration = 3, 4, 0.64
 
     out = pipeline.text_to_audio(
-        model, "a dog barking", seed=11, ddim_steps=steps, duration=duration,
+        model, "a dog barking", seed=11, ddim_steps=steps, duration=duration, duration_bucket=None,
         batchsize=1, n_candidate_gen_per_text=n_gen,
     )
 
