@@ -235,6 +235,13 @@ class AudioMAEConfig:
     contextual_depth: int = 8
     eval_time_pooling: int = 8
     eval_freq_pooling: int = 8
+    # training-time random pooling (reference modules.py:359-379/481-499):
+    # tf_separated=False ties freq_pool to time_pool (CTPoolRand);
+    # True samples them independently (CTPoolRandTFSeparated)
+    time_pooling_factors: Tuple[int, ...] = (1, 2, 4, 8)
+    freq_pooling_factors: Tuple[int, ...] = (1, 2, 4, 8)
+    tf_separated: bool = False
+    regularization: bool = False
 
 
 @dataclass(frozen=True)

@@ -379,6 +379,10 @@ def convert_t5_encoder(sd: Dict[str, np.ndarray], cfg: FlanT5Config, prefix: str
     emb_key = prefix + "shared.weight"
     if emb_key not in sd:
         emb_key = prefix + "encoder.embed_tokens.weight"
+    else:
+        # T5 ties encoder.embed_tokens to shared; the checkpoint stores both
+        tied = sd.get(prefix + "encoder.embed_tokens.weight")
+        assert tied is None or tied.shape == sd[emb_key].shape
     blocks = []
     for i in range(cfg.num_layers):
         bp = f"{prefix}encoder.block.{i}.layer"
@@ -494,6 +498,17 @@ def convert_clap(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
         "audio_projection": {
             "lin1": linear_p(sd, prefix + "audio_projection.0"),
             "lin2": linear_p(sd, prefix + "audio_projection.2"),
+        },
+        # MLPLayers heads feeding the contrastive mlp_loss branch
+        # (model.py:485-545 build, :714-716 use; training-only but shipped in
+        # every checkpoint)
+        "text_transform": {
+            "lin1": linear_p(sd, prefix + "text_transform.sequential.0"),
+            "lin2": linear_p(sd, prefix + "text_transform.sequential.3"),
+        },
+        "audio_transform": {
+            "lin1": linear_p(sd, prefix + "audio_transform.sequential.0"),
+            "lin2": linear_p(sd, prefix + "audio_transform.sequential.3"),
         },
         "logit_scale_a": sd[prefix + "logit_scale_a"],
         "logit_scale_t": sd[prefix + "logit_scale_t"],

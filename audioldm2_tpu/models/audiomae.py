@@ -88,11 +88,12 @@ def encode_no_mask(params, cfg: AudioMAEConfig, fbank):
     return jnp.mean(jnp.stack(contextual, axis=0), axis=0)
 
 
-def avg_max_pool(representation, cfg: AudioMAEConfig):
-    """(avg+max)/2 pooling of the 512 patch tokens on the [64, 8] grid
-    (reference encoders/modules.py:481-513). Returns [B, tokens, 768]."""
-    tp = min(cfg.eval_time_pooling, 64)
-    fp = min(cfg.eval_freq_pooling, 8)
+def avg_max_pool_factors(representation, time_pool: int, freq_pool: int):
+    """(avg+max)/2 pooling of the 512 patch tokens on the [64, 8] grid with
+    explicit factors (reference encoders/modules.py:359-396 / :481-513 —
+    both CTPoolRand variants share this pool). Returns [B, tokens, 768]."""
+    tp = min(int(time_pool), 64)
+    fp = min(int(freq_pool), 8)
     b, _, d = representation.shape
     grid = representation[:, 1:, :].reshape(b, 64, 8, d)
     window = (1, tp, fp, 1)
@@ -100,3 +101,37 @@ def avg_max_pool(representation, cfg: AudioMAEConfig):
     mx = jax.lax.reduce_window(grid, -jnp.inf, jax.lax.max, window, window, "VALID")
     pooled = (avg + mx) / 2.0
     return pooled.reshape(b, -1, d)
+
+
+def avg_max_pool(representation, cfg: AudioMAEConfig):
+    """Eval-time pooling with the config's fixed factors."""
+    return avg_max_pool_factors(
+        representation, cfg.eval_time_pooling, cfg.eval_freq_pooling
+    )
+
+
+def sample_pooling_factors(rng, cfg: AudioMAEConfig):
+    """Training-time random pooling factors, chosen host-side (the factor
+    pair changes the token count, i.e. the jitted shape — one compiled
+    program per pair, like the reference's dynamic AvgPool2d construction).
+
+    ``cfg.tf_separated`` selects between the two reference conditioners:
+    - False: AudioMAEConditionCTPoolRand (modules.py:481-499) — sample
+      time_pool, tie freq_pool = min(8, time_pool).
+    - True: AudioMAEConditionCTPoolRandTFSeparated (modules.py:359-379) —
+      sample time_pool and freq_pool independently.
+    """
+    tp = int(min(64, rng.choice(list(cfg.time_pooling_factors))))
+    if cfg.tf_separated:
+        fp = int(min(8, rng.choice(list(cfg.freq_pooling_factors))))
+    else:
+        fp = min(8, tp)
+    return tp, fp
+
+
+def l2_regularize(pooled):
+    """Optional L2 normalization of pooled tokens (reference
+    modules.py:397-400, ``regularization=True`` configs)."""
+    return pooled / jnp.clip(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+    )

@@ -93,7 +93,7 @@ def text_tower(cfg: CLAPConfig):
 
 
 def init_clap(key, cfg: CLAPConfig):
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    k1, k2, k3, k4, k5, k6, k7, k8, k9, k10 = jax.random.split(key, 10)
     tcfg, twidth = text_tower(cfg)
     acfg, awidth = audio_tower(cfg)
     if cfg.tmodel == "transformer":
@@ -117,6 +117,15 @@ def init_clap(key, cfg: CLAPConfig):
         "audio_projection": {
             "lin1": nn.linear_init(k4, awidth, cfg.embed_dim),
             "lin2": nn.linear_init(k5, cfg.embed_dim, cfg.embed_dim),
+        },
+        # contrastive mlp_loss heads (reference model.py:485-545,714-716)
+        "text_transform": {
+            "lin1": nn.linear_init(k7, cfg.embed_dim, cfg.embed_dim),
+            "lin2": nn.linear_init(k8, cfg.embed_dim, cfg.embed_dim),
+        },
+        "audio_transform": {
+            "lin1": nn.linear_init(k9, cfg.embed_dim, cfg.embed_dim),
+            "lin2": nn.linear_init(k10, cfg.embed_dim, cfg.embed_dim),
         },
         "logit_scale_a": jnp.asarray(np.log(1 / 0.07), jnp.float32),
         "logit_scale_t": jnp.asarray(np.log(1 / 0.07), jnp.float32),
@@ -178,24 +187,35 @@ def cos_similarity(audio_emb, text_emb):
     return jnp.sum(_normalize(a) * _normalize(t), axis=-1)
 
 
-def cos_similarity_waveform_text(params, cfg, wav, text, tokenizer, sampling_rate):
-    """Host-coordinated rerank scorer: resample to the CLAP rate, embed audio
-    + text, cosine similarity. Returns np.ndarray [B]."""
+def prepare_clap_audio(wav: np.ndarray, orig_sr: int, cfg: CLAPConfig) -> np.ndarray:
+    """Host-side waveform prep for the CLAP audio tower: resample to the
+    CLAP rate (reference modules.py:700-703) and fit to one clip with the
+    "repeatpad" data_filling (reference clap/training/data.py:421-450: tile
+    the clip as many whole times as fits, zero-pad the rest).
+    wav: [B, N] (or [B, 1, N]) at ``orig_sr`` -> [B, clip_samples] float32."""
     from audioldm2_tpu.utils.audio_io import resample
 
-    wav = np.asarray(wav)
+    wav = np.asarray(wav, np.float32)
     if wav.ndim == 3:
         wav = wav[:, 0]
-    wav48 = resample(wav, sampling_rate, cfg.sampling_rate)
+    wav48 = wav if orig_sr == cfg.sampling_rate else resample(wav, orig_sr, cfg.sampling_rate)
     clip = cfg.clip_samples
     if wav48.shape[-1] < clip:
-        # "repeatpad" data_filling (reference clap/training/data.py:421-450):
-        # tile the clip as many whole times as fits, zero-pad the rest
         n_repeat = max(1, clip // wav48.shape[-1])
         wav48 = np.tile(wav48, (1, n_repeat))
         wav48 = np.pad(wav48, ((0, 0), (0, clip - wav48.shape[-1])))
     else:
         wav48 = wav48[:, :clip]
+    return np.ascontiguousarray(wav48, np.float32)
+
+
+def cos_similarity_waveform_text(params, cfg, wav, text, tokenizer, sampling_rate):
+    """Host-coordinated rerank scorer: resample to the CLAP rate, embed audio
+    + text, cosine similarity. Returns np.ndarray [B]."""
+    wav = np.asarray(wav)
+    if wav.ndim == 3:
+        wav = wav[:, 0]
+    wav48 = prepare_clap_audio(wav, sampling_rate, cfg)
     a = audio_embedding(params, cfg, jnp.asarray(wav48))
     ids, mask = tokenizer([text] * wav.shape[0])
     t = text_embedding(params, cfg, ids, mask)[:, 0]

@@ -90,6 +90,8 @@ def _audiomae_encode(params, spec: ConditionerSpec, batch):
         params["audiomae"], spec.audiomae, batch["ta_kaldi_fbank"]
     )
     pooled = mae_model.avg_max_pool(tokens, spec.audiomae)
+    if spec.audiomae.regularization:
+        pooled = mae_model.l2_regularize(pooled)
     b, n = pooled.shape[0], pooled.shape[1]
     return ("crossattn", (pooled, jnp.ones((b, n), jnp.float32)))
 
@@ -119,6 +121,15 @@ def _clap_init(key, spec: ConditionerSpec):
 def _clap_encode(params, spec: ConditionerSpec, batch):
     from audioldm2_tpu.models import clap as clap_model
 
+    if spec.clap.embed_mode == "audio":
+        # reference modules.py:689-716: embed the conditioning waveform
+        # (host-prepared to one 48 kHz clip, batch key ``clap_waveform_48k``)
+        # through the audio tower. Unconditional stays the ""-text embedding
+        # in both modes (reference build_unconditional_emb, modules.py:732).
+        emb = clap_model.audio_embedding(
+            params["clap"], spec.clap, batch["clap_waveform_48k"]
+        )
+        return ("film", emb)
     emb = clap_model.text_embedding(
         params["clap"], spec.clap, batch["clap_ids"], batch["clap_mask"]
     )

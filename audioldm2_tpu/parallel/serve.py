@@ -1,35 +1,47 @@
-"""Multi-chip data-parallel inference serving.
+"""Multi-chip inference serving over a dp x tp mesh.
 
 The reference serves on exactly one device (reference pipeline.py:144-150);
 here a batch of prompts (x candidates) shards over the mesh's ``dp`` axis:
-params replicate, every batch-leading array shards, and GSPMD partitions the
-whole conditioning -> DDIM -> decode -> vocoder program. The CFG stacking
+every batch-leading array shards, and GSPMD partitions the whole
+conditioning -> DDIM -> decode -> vocoder program. The CFG stacking
 (uncond || cond) doubles the leading axis, so ``2 * batch * n_gen`` must be
 divisible by the dp size.
+
+``tp > 1`` additionally shards attention/FF weights megatron-style
+(column/row splits from :func:`audioldm2_tpu.parallel.mesh.param_shardings`)
+so a single prompt's UNet step spreads over tp chips — the latency-bound
+layout for the large family. dp-only is the throughput-serving default.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from audioldm2_tpu.parallel.mesh import make_mesh
+from audioldm2_tpu.parallel.mesh import make_mesh, param_shardings
 
 
 class ShardedGenerator:
-    """Wraps an AudioLDM2 model for dp-sharded batch serving."""
+    """Wraps an AudioLDM2 model for dp(x tp)-sharded batch serving."""
 
-    def __init__(self, model, mesh: Mesh = None):
+    def __init__(self, model, mesh: Mesh = None, tp: Optional[int] = None):
         self.model = model
-        self.mesh = mesh or make_mesh(tp=1)
-        self.dp = self.mesh.devices.size
+        self.mesh = mesh or make_mesh(tp=tp or 1)
+        self.dp = int(self.mesh.shape["dp"])
+        self.tp = int(self.mesh.shape.get("tp", 1))
         self._replicated = NamedSharding(self.mesh, P())
         self._batched = NamedSharding(self.mesh, P("dp"))
-        # replicate params across the mesh once
-        self.params = jax.device_put(model.ldm.params, self._replicated)
+        # place params once: replicated over dp; attention/FF weights
+        # column/row-split over tp when tp > 1
+        if self.tp > 1:
+            self.params = jax.device_put(
+                model.ldm.params, param_shardings(self.mesh, model.ldm.params)
+            )
+        else:
+            self.params = jax.device_put(model.ldm.params, self._replicated)
 
     def generate(self, texts, key, duration: float = 10.0, n_gen: int = 1,
                  guidance: float = 3.5, ddim_steps: int = 200, **kw):

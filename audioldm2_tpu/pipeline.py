@@ -141,6 +141,17 @@ def load_checkpoint_params(ckpt_path: str, cfg: ModelConfig) -> Dict:
     sd = torch.load(ckpt_path, map_location="cpu")
     sd = sd.get("state_dict", sd)
     sd = convert.state_dict_to_numpy(sd)
+    return convert_state_dict(sd, cfg)
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray], cfg: ModelConfig) -> Dict:
+    """Pure conversion of a reference monolithic state dict (numpy values,
+    reference key layout — the exact output of
+    ``LatentDiffusion.state_dict()``, reference pipeline.py:172-174) into
+    this framework's param tree. Factored out of :func:`load_checkpoint_params`
+    so the key-coverage proof (tools/key_coverage.py) can drive it with a
+    tracking dict."""
+    from audioldm2_tpu import convert
 
     params: Dict = {
         "unet": convert.convert_unet(sd, cfg.unet, prefix="model.diffusion_model."),
@@ -237,6 +248,28 @@ class AudioLDM2:
             )
         else:
             batch["ta_kaldi_fbank"] = np.zeros((batchsize, 1024, 128), np.float32)
+        clap_cfg = _first_clap_cfg(self.cfg)
+        if any(
+            s.kind == "clap" and s.clap is not None and s.clap.embed_mode == "audio"
+            for s in self.cfg.conditioners
+        ):
+            # audio-conditioned generation/training (reference embed_mode
+            # "audio", modules.py:689-716): one 48 kHz clip per batch row
+            from audioldm2_tpu.models.clap import prepare_clap_audio
+
+            if waveform is not None:
+                wav = np.asarray(waveform, np.float32)
+                if wav.ndim == 1:
+                    wav = wav[None]
+                if wav.shape[0] == 1 and batchsize > 1:
+                    wav = np.tile(wav, (batchsize, 1))
+                batch["clap_waveform_48k"] = prepare_clap_audio(
+                    wav, self.cfg.preprocessing.sampling_rate, clap_cfg
+                )
+            else:
+                batch["clap_waveform_48k"] = np.zeros(
+                    (batchsize, clap_cfg.clip_samples), np.float32
+                )
         if fbank is not None:
             batch["fbank"] = fbank.astype(np.float32)
         return batch

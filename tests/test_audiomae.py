@@ -129,3 +129,55 @@ def test_avg_max_pool_production_grid(rng):
     block = grid[:8, :8].reshape(-1, 768)
     want0 = (block.mean(0) + block.max(0)) / 2
     np.testing.assert_allclose(pooled[0, 0], want0, rtol=1e-5, atol=1e-6)
+
+
+def test_pool_variants_parity_vs_reference(rng):
+    """Both reference pooling conditioners (CTPoolRand and the TFSeparated
+    variant, modules.py:303-543) share the same (avg+max)/2 pool; verify our
+    explicit-factor pool against the reference ``pool()`` for asymmetric
+    factors, and the factor-sampling semantics of both variants."""
+    torch = pytest.importorskip("torch")
+    import _reference
+
+    mod = _reference.load("audioldm2.latent_diffusion.modules.encoders.modules")
+    # constructing the conditioners builds the full 86M-param Vanilla_AudioMAE;
+    # stub it out — only .pool() is under test
+    class _Stub(torch.nn.Module):
+        pass
+
+    orig = mod.Vanilla_AudioMAE
+    mod.Vanilla_AudioMAE = _Stub
+    try:
+        for cls_name in ("AudioMAEConditionCTPoolRand",
+                         "AudioMAEConditionCTPoolRandTFSeparated"):
+            ref = getattr(mod, cls_name)(
+                eval_time_pooling=16, eval_freq_pooling=4
+            ).eval()
+            rep = rng.standard_normal((2, 513, 768)).astype(np.float32)
+            with torch.no_grad():
+                want = ref.pool(torch.from_numpy(rep)).numpy()
+            got = np.asarray(jmae.avg_max_pool_factors(rep, 16, 4))
+            assert got.shape == want.shape == (2, 8, 768)
+            np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    finally:
+        mod.Vanilla_AudioMAE = orig
+
+
+def test_sample_pooling_factor_semantics():
+    """CTPoolRand ties freq to time (modules.py:481-499); TFSeparated
+    samples independently (modules.py:359-379)."""
+    tied = AudioMAEConfig(time_pooling_factors=(8,), freq_pooling_factors=(1,))
+    rng = np.random.default_rng(0)
+    tp, fp = jmae.sample_pooling_factors(rng, tied)
+    assert (tp, fp) == (8, 8)  # freq_pool = min(8, time_pool), factors ignored
+
+    sep = AudioMAEConfig(
+        time_pooling_factors=(8,), freq_pooling_factors=(1,), tf_separated=True
+    )
+    tp, fp = jmae.sample_pooling_factors(rng, sep)
+    assert (tp, fp) == (8, 1)  # independent draw
+
+    # l2 regularization normalizes each token (modules.py:397-400)
+    pooled = np.random.default_rng(1).standard_normal((2, 8, 768)).astype(np.float32)
+    reg = np.asarray(jmae.l2_regularize(pooled))
+    np.testing.assert_allclose(np.linalg.norm(reg, axis=-1), 1.0, rtol=1e-5)

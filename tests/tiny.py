@@ -1,6 +1,7 @@
 """Tiny but structurally complete ModelConfig for fast CPU e2e tests."""
 
 from audioldm2_tpu.config import (
+    CLAPConfig,
     ConditionerSpec,
     DiffusionConfig,
     FlanT5Config,
@@ -10,6 +11,41 @@ from audioldm2_tpu.config import (
     VAEConfig,
     VocoderConfig,
 )
+
+
+def tiny_clap_config(embed_mode: str = "text") -> CLAPConfig:
+    """Tiny CLAP (PANN-CNN10 audio tower + 1-layer RoBERTa text tower)
+    registered into the variant registry — shared by the reranker and
+    film-pipeline tests."""
+    from audioldm2_tpu.models import clap as clap_model
+    from audioldm2_tpu.models import roberta as roberta_m
+    from audioldm2_tpu.models.pann import PANNConfig
+
+    clap_model.register_audio_tower(
+        "PANN-tiny",
+        lambda: PANNConfig(
+            sample_rate=1600, window_size=64, hop_size=16, mel_bins=16,
+            fmin=10.0, fmax=790.0, embed_dim=24, variant="cnn10",
+            channels_override=(8, 16),
+        ),
+        24,
+    )
+    clap_model.register_text_tower(
+        "roberta-tiny",
+        lambda: roberta_m.RobertaConfig(
+            hidden_size=16, num_layers=1, num_heads=2, intermediate_size=32
+        ),
+        16,
+    )
+    return CLAPConfig(
+        embed_mode=embed_mode,
+        amodel="PANN-tiny",
+        tmodel="roberta-tiny",
+        sampling_rate=1600,
+        embed_dim=24,
+        clip_samples=1024,
+        text_max_length=16,
+    )
 
 TINY_T5 = FlanT5Config(
     d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4, vocab_size=32128,
