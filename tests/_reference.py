@@ -83,11 +83,67 @@ def install_shims():
             def __init__(self, *a, **k):
                 super().__init__()
 
+        class _TimmAttention(_torch.nn.Module):
+            # timm 0.4.x vision_transformer.Attention: qkv fused Linear +
+            # output proj — the exact param names shipped checkpoints carry
+            # under *.blocks.N.attn.* (strict load of Vanilla_AudioMAE).
+            def __init__(self, dim, num_heads=8, qkv_bias=False, qk_scale=None,
+                         attn_drop=0.0, proj_drop=0.0):
+                super().__init__()
+                self.num_heads = num_heads
+                self.scale = qk_scale or (dim // num_heads) ** -0.5
+                self.qkv = _torch.nn.Linear(dim, dim * 3, bias=qkv_bias)
+                self.proj = _torch.nn.Linear(dim, dim)
+
+            def forward(self, x):
+                B, N, C = x.shape
+                h = self.num_heads
+                qkv = self.qkv(x).reshape(B, N, 3, h, C // h).permute(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                attn = (q @ k.transpose(-2, -1)) * self.scale
+                attn = attn.softmax(dim=-1)
+                x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+                return self.proj(x)
+
+        class _TimmMlp(_torch.nn.Module):
+            def __init__(self, in_features, hidden_features=None,
+                         out_features=None, act_layer=_torch.nn.GELU, drop=0.0):
+                super().__init__()
+                out_features = out_features or in_features
+                hidden_features = hidden_features or in_features
+                self.fc1 = _torch.nn.Linear(in_features, hidden_features)
+                self.act = act_layer()
+                self.fc2 = _torch.nn.Linear(hidden_features, out_features)
+
+            def forward(self, x):
+                return self.fc2(self.act(self.fc1(x)))
+
+        class _TimmBlock(_torch.nn.Module):
+            # timm 0.4.x Block: norm1 -> attn -> residual, norm2 -> mlp ->
+            # residual (drop_path is identity at inference).
+            def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False,
+                         qk_scale=None, drop=0.0, attn_drop=0.0, drop_path=0.0,
+                         act_layer=_torch.nn.GELU, norm_layer=_torch.nn.LayerNorm,
+                         **kw):
+                super().__init__()
+                self.norm1 = norm_layer(dim)
+                self.attn = _TimmAttention(
+                    dim, num_heads=num_heads, qkv_bias=qkv_bias,
+                    qk_scale=qk_scale,
+                )
+                self.norm2 = norm_layer(dim)
+                self.mlp = _TimmMlp(dim, int(dim * mlp_ratio), act_layer=act_layer)
+
+            def forward(self, x):
+                x = x + self.attn(self.norm1(x))
+                x = x + self.mlp(self.norm2(x))
+                return x
+
         _ensure_module(
             "timm.models.vision_transformer",
             VisionTransformer=_VisionTransformer,
             PatchEmbed=_torch.nn.Module,
-            Block=_torch.nn.Module,
+            Block=_TimmBlock,
         )
     except ImportError:
         pass
