@@ -61,6 +61,7 @@ def ddim_sample(
     x0: Optional[jnp.ndarray] = None,
     temperature: float = 1.0,
     dtype=jnp.float32,
+    unroll: int = 2,
 ) -> jnp.ndarray:
     """Run the full DDIM trajectory; returns x_0-latents [B, ...].
 
@@ -103,7 +104,11 @@ def ddim_sample(
         img = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
         return img, None
 
-    img, _ = jax.lax.scan(body, img, (ts_r, al_r, ap_r, sg_r, step_keys))
+    # unroll=2 halves while-loop bookkeeping (~0.3 ms/step measured) without
+    # meaningfully growing the program
+    img, _ = jax.lax.scan(
+        body, img, (ts_r, al_r, ap_r, sg_r, step_keys), unroll=unroll
+    )
     return img
 
 

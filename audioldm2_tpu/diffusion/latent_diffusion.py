@@ -133,6 +133,9 @@ def _generate_impl(
     # Cross-attention K/V depend only on the contexts: compute once, outside
     # the sampling scan (kills per-step relayout copies of hoisted values).
     cross_kv = unet.precompute_cross_kv(unet_p, cfg.unet, contexts_c)
+    # Fuse self-attention q/k/v into one wide matmul per block (also a
+    # one-time transform outside the scan).
+    unet_p = unet.fuse_self_qkv(unet_p)
 
     def model_fn(x, t):
         eps = unet.apply_unet(

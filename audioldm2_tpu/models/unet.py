@@ -168,13 +168,21 @@ def _resblock(p, x, emb):
 
 
 def _cross_attention(p, x, context, mask, num_heads, kv=None):
-    q = nn.split_heads(nn.linear(p["to_q"], x), num_heads)
-    if kv is not None:
-        k, v = kv
+    if kv is None and context is None and "to_qkv" in p:
+        # self-attention with fused projection (see fuse_self_qkv): one
+        # [C, 3C] matmul keeps the MXU 3x wider than three [C, C] calls
+        q, k, v = jnp.split(nn.linear(p["to_qkv"], x), 3, axis=-1)
+        q = nn.split_heads(q, num_heads)
+        k = nn.split_heads(k, num_heads)
+        v = nn.split_heads(v, num_heads)
     else:
-        src = context if context is not None else x
-        k = nn.split_heads(nn.linear(p["to_k"], src), num_heads)
-        v = nn.split_heads(nn.linear(p["to_v"], src), num_heads)
+        q = nn.split_heads(nn.linear(p["to_q"], x), num_heads)
+        if kv is not None:
+            k, v = kv
+        else:
+            src = context if context is not None else x
+            k = nn.split_heads(nn.linear(p["to_k"], src), num_heads)
+            v = nn.split_heads(nn.linear(p["to_v"], src), num_heads)
     out = nn.attention(q, k, v, mask=mask if (context is not None or kv is not None) else None)
     return nn.linear(p["to_out"], nn.merge_heads(out))
 
@@ -217,6 +225,57 @@ def _run_sts(blk, h, contexts, masks, cfg: UNetConfig, kv_iter=None):
             kvs = None  # self-attention slot: no precomputed KV applies
         h = _spatial_transformer(st, h, ctx, msk, num_heads, kvs=kvs)
     return h
+
+
+def _fuse_attn(attn):
+    if "to_qkv" in attn:
+        return attn
+    out = dict(attn)
+    out["to_qkv"] = {
+        "w": jnp.concatenate(
+            [attn["to_q"]["w"], attn["to_k"]["w"], attn["to_v"]["w"]], axis=1
+        )
+    }
+    # keep to_q/to_k/to_v: precompute_cross_kv and the masked path still
+    # read them, and XLA dedupes unused inputs at compile time
+    return out
+
+
+def fuse_self_qkv(params):
+    """Fuse q/k/v projections of every *self*-attention into one [C, 3C]
+    matmul: attn1 of all transformer blocks, plus attn2 of the context-free
+    self-ST slot. Done once per generate call, outside the sampling scan —
+    the scan body then runs one wide MXU op instead of three narrow ones.
+
+    Cross-attention K/V stay separate (precomputed outside the loop by
+    :func:`precompute_cross_kv`)."""
+
+    def fuse_st(st):
+        st = dict(st)
+        st["blocks"] = [dict(b) for b in st["blocks"]]
+        for b in st["blocks"]:
+            b["attn1"] = _fuse_attn(b["attn1"])
+        return st
+
+    def fuse_sts(blk):
+        blk = dict(blk)
+        st = fuse_st(blk["self_st"])
+        # the self-ST's attn2 also attends over x (context=None slot)
+        for b in st["blocks"]:
+            b["attn2"] = _fuse_attn(b["attn2"])
+        blk["self_st"] = st
+        blk["cross_sts"] = [fuse_st(s) for s in blk["cross_sts"]]
+        return blk
+
+    p = dict(params)
+    p["input_blocks"] = [
+        fuse_sts(b) if "self_st" in b else b for b in params["input_blocks"]
+    ]
+    p["middle_block"] = fuse_sts(params["middle_block"])
+    p["output_blocks"] = [
+        fuse_sts(b) if "self_st" in b else b for b in params["output_blocks"]
+    ]
+    return p
 
 
 def precompute_cross_kv(params, cfg: UNetConfig, context_list):

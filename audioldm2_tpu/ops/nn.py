@@ -306,20 +306,30 @@ def avg_pool_2d(x, window: Tuple[int, int], stride: Tuple[int, int]):
     ) / (window[0] * window[1])
 
 
-# Default False: profiling showed XLA's fused attention beats the Pallas
-# kernel at this model's shapes (T <= 1024, D = 32 — the narrow head dim
-# wastes lanes in the hand-written kernel). The kernel stays available for
-# larger-geometry configs; flip to True/None (auto on TPU) to use it.
-USE_PALLAS_ATTENTION = False
+# None = auto (TPU only, by shape): the [B, H, T, T] f32 logits XLA
+# materializes scale linearly with batch*heads, so the flash kernel wins
+# once that traffic is large. Measured on v5e (T=1024, D=32, 20-step DDIM
+# scan): CFG-batch 2 -> XLA 6.11 vs Pallas 6.51 ms/step; CFG-batch 8 ->
+# XLA 23.4 vs Pallas 17.3 ms/step (identical outputs). True/False force.
+USE_PALLAS_ATTENTION = None
+
+# b*h*t*t threshold between the measured win (8*8*1024^2) and loss
+# (2*8*1024^2) points; CFG-batch >= 4 at T=1024/H=8 switches to Pallas.
+_PALLAS_ATTENTION_MIN_LOGITS = 3 * 8 * 1024 * 1024
 
 
-def _pallas_attention_enabled() -> bool:
+def _pallas_attention_enabled(q=None) -> bool:
     if USE_PALLAS_ATTENTION is not None:
         return USE_PALLAS_ATTENTION
     try:
-        return jax.default_backend() in ("tpu", "axon")
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
     except Exception:
         return False
+    if q is None:
+        return True
+    b, t, h, _ = q.shape
+    return b * h * t * t >= _PALLAS_ATTENTION_MIN_LOGITS
 
 
 def attention(
@@ -343,7 +353,7 @@ def attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    if _pallas_attention_enabled() and mask is None and bias is None:
+    if _pallas_attention_enabled(q) and mask is None and bias is None:
         from audioldm2_tpu.ops import attention_pallas
 
         if attention_pallas.supported(q, k, mask, bias):

@@ -222,3 +222,28 @@ def test_encoder_unet_parity(rng):
         want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(ts)).numpy()
     got = np.asarray(junet.apply_encoder_unet(params, cfg, x, ts))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_fuse_self_qkv_identical(rng):
+    """fuse_self_qkv + precompute_cross_kv must reproduce the plain forward
+    bit-for-bit in f32 (it only re-associates the same matmuls)."""
+    import jax
+
+    cfg = SMALL
+    params = junet.init_unet(jax.random.PRNGKey(3), cfg)
+    x = rng.standard_normal((2, 8, 4, cfg.in_channels)).astype(np.float32)
+    ts = np.array([3.0, 77.0], np.float32)
+    ctx = rng.standard_normal((2, 6, 24)).astype(np.float32)
+    mask = np.ones((2, 6), np.float32)
+
+    base = np.asarray(
+        junet.apply_unet(params, cfg, x, ts, context_list=[ctx],
+                         context_mask_list=[mask])
+    )
+    kv = junet.precompute_cross_kv(params, cfg, [ctx])
+    fused = junet.fuse_self_qkv(params)
+    out = np.asarray(
+        junet.apply_unet(fused, cfg, x, ts, context_list=[ctx],
+                         context_mask_list=[mask], cross_kv=kv)
+    )
+    np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)

@@ -77,7 +77,10 @@ def main():
             )(params, batch)
             ctxs_c = [c.astype(cdtype) for c in ctxs]
             y_c = y.astype(cdtype) if y is not None else None
-            kv = unet.precompute_cross_kv(unet_p, cfg.unet, ctxs_c)
+            kv = jax.jit(
+                lambda p, c: unet.precompute_cross_kv(p, cfg.unet, c)
+            )(unet_p, ctxs_c)
+            fused_p = jax.jit(unet.fuse_self_qkv)(unet_p)
 
             @jax.jit
             def one_step(unet_p, kv, x, t):
@@ -93,7 +96,7 @@ def main():
 
             x = jnp.zeros(shape, jnp.float32)
             t = jnp.zeros((b,), jnp.float32)
-            ms = timed(one_step, unet_p, kv, x, t) * 1e3
+            ms = timed(one_step, fused_p, kv, x, t) * 1e3
             print(f"{'unet-cfg':<10}{b:>6}{ms:>10.2f}{ms / b:>12.3f}", flush=True)
 
         if "vae" in stages:

@@ -73,6 +73,15 @@ SKIP_PATTERNS = [
     # Swin relative-position integer index grids — recomputed from window
     # geometry (our htsat.py builds the gather indices at trace time)
     r"\.attn\.relative_position_index$",
+    # AudioMAE MAE-decoder: conditioning runs forward_encoder_no_mask only
+    # (reference AudioMAE.py:119-131; models_mae.py decoder is pretraining-
+    # only, and AudioMAE.py:111-116 notes decoder keys are "not required")
+    r"\.audiomae\.model\.(decoder_embed|decoder_blocks|decoder_norm|"
+    r"decoder_pred|decoder_pos_embed|mask_token)\.",
+    r"\.audiomae\.model\.(decoder_pos_embed|mask_token)$",
+    # GPT-2 token embedding: the sequence generator only ever drives GPT-2
+    # with inputs_embeds (reference sequence_input.py:278,313), never ids
+    r"cond_stage_models\.\d+\.model\.wte\.weight$",
 ]
 
 
@@ -304,6 +313,23 @@ def main(argv):
 
 
 def write_report(reports):
+    # merge with previously-proven families (the tool is run per-family /
+    # per-subset — a full 7-family pass takes hours of torch instantiation)
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sidecar = os.path.join(root, "docs", "key_coverage.json")
+    merged = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            merged = json.load(f)
+    for r in reports:
+        merged[r["family"]] = r
+    reports = [merged[f] for f in FAMILIES if f in merged]
+    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+    with open(sidecar, "w") as f:
+        json.dump(merged, f, indent=1)
+
     lines = [
         "# Checkpoint key-coverage report",
         "",

@@ -114,7 +114,12 @@ def main():
         )
         return eps.astype(jnp.float32)
 
-    kv = unet.precompute_cross_kv(unet_p, cfg.unet, ctxs_c)
+    # jit in one program: eager per-op dispatch through the TPU tunnel costs
+    # minutes (each tiny op is a separate compile)
+    kv = jax.jit(lambda p, c: unet.precompute_cross_kv(p, cfg.unet, c))(
+        unet_p, ctxs_c
+    )
+    unet_p = jax.jit(unet.fuse_self_qkv)(unet_p)
 
     @jax.jit
     def one_step(unet_p, kv, x, t):

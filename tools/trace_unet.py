@@ -54,7 +54,9 @@ def main():
         unet_p = cast_tree(params["unet"])
         ctxs_c = [c.astype(cdtype) for c in ctxs]
         y_c = y.astype(cdtype) if y is not None else None
-        kv = unet.precompute_cross_kv(unet_p, cfg.unet, ctxs_c)
+        kv = jax.jit(lambda p, c: unet.precompute_cross_kv(p, cfg.unet, c))(
+            unet_p, ctxs_c
+        )
 
         @jax.jit
         def _fn(unet_p, kv, ctxs_c, y_c, key):
