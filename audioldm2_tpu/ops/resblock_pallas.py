@@ -123,6 +123,10 @@ def supported(x, w, groups: int) -> bool:
     if cin % groups or cin % 128 or cout % 128:
         return False
     s = T * F
-    # VMEM budget: x (f32) + y + acc + weights
+    # VMEM budget: x (f32) + y + acc + weights. XLA's scoped-vmem limit for
+    # custom calls is 16 MB (NOT the chip's full 128 MB VMEM): the S=4096 /
+    # cin=256 ds=1 output-ladder shape needs 24.5 MB actual and fails to
+    # compile — this 10 MB estimate gate keeps every shipped shape under
+    # the real limit (measured).
     budget = (s * cin * 4) * 2 + s * cout * 4 + int(np.prod(w.shape)) * w.dtype.itemsize
     return budget <= 10 * 1024 * 1024

@@ -42,6 +42,11 @@ class ShardedGenerator:
             )
         else:
             self.params = jax.device_put(model.ldm.params, self._replicated)
+        self.voc_folded = (
+            jax.device_put(model.ldm._voc_folded, self._replicated)
+            if model.ldm._voc_folded is not None
+            else None
+        )
 
     def generate(self, texts, key, duration: float = 10.0, n_gen: int = 1,
                  guidance: float = 3.5, ddim_steps: int = 200, **kw):
@@ -83,5 +88,6 @@ class ShardedGenerator:
                 self.params, batch, key,
                 latent_t_size=latent_t, n_gen=n_gen, guidance=float(guidance),
                 ddim_steps=int(ddim_steps), ddim_eta=1.0, use_mask=False,
+                voc_folded=self.voc_folded,
             )
         return np.asarray(wav)

@@ -35,16 +35,57 @@ def _peak():
 
 
 def _mfu(model, batch, key, run_kwargs, wall_s):
-    """MFU of the whole jitted generate program (flops from XLA cost
-    analysis over measured wall time)."""
+    """MFU over the sampling loop: XLA cost analysis of ONE CFG UNet step
+    (program-level analysis does not multiply the scan body by its trip
+    count) x ddim_steps, over measured wall time."""
+    import jax.numpy as jnp
+
+    from audioldm2_tpu.diffusion import ddim
+    from audioldm2_tpu.diffusion.latent_diffusion import encode_conditioning
+    from audioldm2_tpu.models import unet
+
     try:
-        lowered = model.ldm._generate_jit.lower(
-            model.ldm.params, batch, key, **run_kwargs
+        cfg = model.cfg
+        params = model.ldm.params
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a, t
         )
-        ca = lowered.compile().cost_analysis()
+        (y, ctxs, masks), bsz, _ = jax.jit(
+            lambda p, b: encode_conditioning(
+                p, cfg, b, run_kwargs["n_gen"], run_kwargs["guidance"]
+            )
+        )(params, batch)
+        unet_p = cast(params["unet"])
+        ctxs_c = [c.astype(cdtype) for c in ctxs]
+        y_c = y.astype(cdtype) if y is not None else None
+        kv = jax.jit(lambda p, c: unet.precompute_cross_kv(p, cfg.unet, c))(
+            unet_p, ctxs_c
+        )
+        unet_p = jax.jit(unet.fuse_self_qkv)(unet_p)
+        shape = (
+            bsz, run_kwargs["latent_t_size"], cfg.latent_f_size,
+            cfg.latent_channels,
+        )
+
+        @jax.jit
+        def one_step(unet_p, kv, x, t):
+            def mfn(xx, tt):
+                eps = unet.apply_unet(
+                    unet_p, cfg.unet, xx.astype(cdtype), tt,
+                    context_list=ctxs_c, context_mask_list=masks, y=y_c,
+                    cross_kv=kv,
+                )
+                return eps.astype(jnp.float32)
+
+            return ddim.cfg_eps_fn(mfn, run_kwargs["guidance"])(x, t)
+
+        x = jnp.zeros(shape, jnp.float32)
+        t = jnp.zeros((shape[0],), jnp.float32)
+        ca = one_step.lower(unet_p, kv, x, t).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
+        flops = float(ca.get("flops", 0.0)) * run_kwargs["ddim_steps"]
         return flops / wall_s / _peak() if flops else None
     except Exception:
         return None

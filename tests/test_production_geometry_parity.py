@@ -148,3 +148,137 @@ def test_vocoder_production_parity(rng):
     assert wav_j.shape == wav_t.shape == (1, 163872)
     np.testing.assert_allclose(wav_j, wav_t, atol=5e-4, rtol=1e-3)
     assert np.abs(wav_j - wav_t).mean() < 1e-4
+
+
+def test_unet_48k_film_production_parity(rng):
+    """48k-family UNet: film-only conditioning (context-free ST slot +
+    FiLM 512) at latent [1, 128, 32, 16] (reference utils.py:415-447)."""
+    torch = pytest.importorskip("torch")
+    om = _reference.load(
+        "audioldm2.latent_diffusion.modules.diffusionmodules.openaimodel"
+    )
+    cfg = UNetConfig(
+        in_channels=16, out_channels=16, context_dims=(None,),
+        extra_film_condition_dim=512,
+    )
+    torch.manual_seed(0)
+    ref = om.UNetModel(
+        image_size=64,
+        in_channels=cfg.in_channels,
+        out_channels=cfg.out_channels,
+        model_channels=cfg.model_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=list(cfg.attention_resolutions),
+        channel_mult=list(cfg.channel_mult),
+        num_head_channels=cfg.num_head_channels,
+        use_spatial_transformer=True,
+        transformer_depth=cfg.transformer_depth,
+        context_dim=list(cfg.context_dims),
+        extra_film_condition_dim=cfg.extra_film_condition_dim,
+    ).eval()
+    params = convert.convert_unet(
+        convert.state_dict_to_numpy(ref.state_dict()), cfg, prefix=""
+    )
+
+    x = rng.standard_normal((1, 128, 32, cfg.in_channels)).astype(np.float32)
+    ts = np.array([177.0], np.float32)
+    y = rng.standard_normal((1, 512)).astype(np.float32) * 0.2
+
+    with torch.no_grad():
+        out_t = ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            timesteps=torch.from_numpy(ts),
+            context_list=[],
+            context_attn_mask_list=[],
+            y=torch.from_numpy(y),
+        ).numpy().transpose(0, 2, 3, 1)
+    out_j = np.asarray(junet.apply_unet(params, cfg, x, ts, y=y))
+    assert out_j.shape == out_t.shape == x.shape
+    np.testing.assert_allclose(out_j, out_t, atol=1e-3, rtol=1e-3)
+    assert np.abs(out_j - out_t).mean() < 1e-4
+
+
+def test_unet_large_production_step_parity(rng):
+    """large-1150k UNet: 3 context slots (768, 1024, None) at transformer
+    depth 2, latent [1, 256, 16, 8] (reference utils.py large config)."""
+    torch = pytest.importorskip("torch")
+    om = _reference.load(
+        "audioldm2.latent_diffusion.modules.diffusionmodules.openaimodel"
+    )
+    cfg = UNetConfig(context_dims=(768, 1024, None), transformer_depth=2)
+    torch.manual_seed(0)
+    ref = om.UNetModel(
+        image_size=64,
+        in_channels=cfg.in_channels,
+        out_channels=cfg.out_channels,
+        model_channels=cfg.model_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=list(cfg.attention_resolutions),
+        channel_mult=list(cfg.channel_mult),
+        num_head_channels=cfg.num_head_channels,
+        use_spatial_transformer=True,
+        transformer_depth=cfg.transformer_depth,
+        context_dim=list(cfg.context_dims),
+    ).eval()
+    params = convert.convert_unet(
+        convert.state_dict_to_numpy(ref.state_dict()), cfg, prefix=""
+    )
+
+    x = rng.standard_normal((1, 256, 16, cfg.in_channels)).astype(np.float32)
+    ts = np.array([512.0], np.float32)
+    ctx0 = rng.standard_normal((1, 8, 768)).astype(np.float32) * 0.3
+    ctx1 = rng.standard_normal((1, 128, 1024)).astype(np.float32) * 0.3
+    m0 = np.ones((1, 8), np.float32)
+    m1 = np.ones((1, 128), np.float32)
+    m1[:, 100:] = 0.0
+
+    with torch.no_grad():
+        out_t = ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            timesteps=torch.from_numpy(ts),
+            context_list=[torch.from_numpy(ctx0), torch.from_numpy(ctx1)],
+            context_attn_mask_list=[torch.from_numpy(m0), torch.from_numpy(m1)],
+        ).numpy().transpose(0, 2, 3, 1)
+    out_j = np.asarray(
+        junet.apply_unet(params, cfg, x, ts, context_list=[ctx0, ctx1],
+                         context_mask_list=[m0, m1])
+    )
+    assert out_j.shape == out_t.shape == x.shape
+    np.testing.assert_allclose(out_j, out_t, atol=1e-3, rtol=1e-3)
+    assert np.abs(out_j - out_t).mean() < 1e-4
+
+
+def test_vae_48k_decode_production_parity(rng):
+    """48k VAE decode: ch_mult (1,2,4,8), 256 mel bins, z=16 at
+    [1, 128, 32, 16] -> [1, 1024, 256, 1]."""
+    torch = pytest.importorskip("torch")
+    model_mod = _reference.load(
+        "audioldm2.latent_diffusion.modules.diffusionmodules.model"
+    )
+    cfg = VAEConfig(embed_dim=16, z_channels=16, ch_mult=(1, 2, 4, 8), mel_bins=256)
+    torch.manual_seed(0)
+    ddconfig = dict(
+        double_z=True, mel_bins=cfg.mel_bins, z_channels=cfg.z_channels,
+        resolution=256, in_channels=1, out_ch=1, ch=cfg.ch,
+        ch_mult=list(cfg.ch_mult), num_res_blocks=cfg.num_res_blocks,
+        attn_resolutions=[], dropout=0.0,
+    )
+    dec = model_mod.Decoder(**ddconfig).eval()
+    post = torch.nn.Conv2d(cfg.embed_dim, cfg.z_channels, 1)
+    sd = {f"decoder.{k}": v for k, v in dec.state_dict().items()}
+    sd.update({f"post_quant_conv.{k}": v for k, v in post.state_dict().items()})
+    enc = model_mod.Encoder(**ddconfig).eval()
+    quant = torch.nn.Conv2d(2 * cfg.z_channels, 2 * cfg.embed_dim, 1)
+    sd.update({f"encoder.{k}": v for k, v in enc.state_dict().items()})
+    sd.update({f"quant_conv.{k}": v for k, v in quant.state_dict().items()})
+    params = convert.convert_vae(convert.state_dict_to_numpy(sd), cfg)
+
+    z = (rng.standard_normal((1, 128, 32, cfg.embed_dim)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        mel_t = dec(post(torch.from_numpy(z.transpose(0, 3, 1, 2)))).numpy()
+    mel_j = np.asarray(jvae.decode(params, cfg, z))
+    assert mel_j.shape == (1, 1024, 256, 1)
+    np.testing.assert_allclose(
+        mel_j, mel_t.transpose(0, 2, 3, 1), atol=2e-3, rtol=1e-3
+    )
+    assert np.abs(mel_j - mel_t.transpose(0, 2, 3, 1)).mean() < 1e-4

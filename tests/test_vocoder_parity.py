@@ -97,3 +97,33 @@ def test_vocoder_v2_resblock2_parity(rng):
         want = gen(torch.from_numpy(mel.transpose(0, 2, 1))).squeeze(1).numpy()
     got = np.asarray(jvoc.apply_vocoder(params, cfg, mel))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_folded_mrf_matches_unfolded(rng):
+    """Time-folded MRF (C<128 stages run at f*C channels) is an exact
+    reassociation of the same convolutions."""
+    import jax
+
+    cfg = SMALL  # stage channels 16 / 8 -> folds f=8 and f=16
+    params = jvoc.init_vocoder(jax.random.PRNGKey(5), cfg)
+    mel = (rng.standard_normal((2, 16, cfg.num_mels)) * 0.5).astype(np.float32)
+
+    old = jvoc.USE_FOLDED_MRF
+    try:
+        jvoc.USE_FOLDED_MRF = False
+        base = np.asarray(jvoc.apply_vocoder(params, cfg, mel))
+        jvoc.USE_FOLDED_MRF = True
+        folded = np.asarray(jvoc.apply_vocoder(params, cfg, mel))
+    finally:
+        jvoc.USE_FOLDED_MRF = old
+    assert folded.shape == base.shape
+    np.testing.assert_allclose(folded, base, atol=1e-5, rtol=1e-5)
+
+    # the production path: weights pre-folded once outside the program
+    pre = jax.jit(lambda p: jvoc.fold_vocoder_params(p, cfg))(params)
+    out = np.asarray(
+        jax.jit(lambda p, m, fd: jvoc.apply_vocoder(p, cfg, m, folded=fd))(
+            params, mel, pre
+        )
+    )
+    np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
