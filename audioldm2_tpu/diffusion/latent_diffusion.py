@@ -115,6 +115,7 @@ def _generate_impl(
     use_mask: bool,
     sampler: str = "ddim",
     voc_folded=None,
+    x_T=None,
 ):
     (y, contexts, masks), bsz, cfg_on = encode_conditioning(
         params, cfg, batch, n_gen, guidance
@@ -162,15 +163,17 @@ def _generate_impl(
     # sampler selection mirrors reference sample_log (ddpm.py:1417-1474):
     # DDIM / PLMS / full ancestral DDPM.
     if sampler == "plms":
-        z = plms.plms_sample(eps_fn, key, shape, schedule, num_steps=ddim_steps)
+        z = plms.plms_sample(
+            eps_fn, key, shape, schedule, num_steps=ddim_steps, x_T=x_T
+        )
     elif sampler == "ddpm":
         z = ddpm_ancestral.ddpm_sample(
-            eps_fn, key, shape, schedule, mask=mask, x0=x0
+            eps_fn, key, shape, schedule, mask=mask, x0=x0, x_T=x_T
         )
     elif sampler == "ddim":
         z = ddim.ddim_sample(
             eps_fn, key, shape, schedule,
-            num_steps=ddim_steps, eta=ddim_eta, mask=mask, x0=x0,
+            num_steps=ddim_steps, eta=ddim_eta, mask=mask, x0=x0, x_T=x_T,
         )
     else:
         raise ValueError(f"unknown sampler {sampler!r} (ddim|plms|ddpm)")
@@ -229,8 +232,13 @@ class LatentDiffusionModel:
         ddim_eta: float = 1.0,
         use_mask: bool = False,
         sampler: str = "ddim",
+        x_T=None,
     ):
-        """Returns (waveform [B*n_gen, N] np.float32, mel)."""
+        """Returns (waveform [B*n_gen, N] np.float32, mel).
+
+        ``x_T``: optional fixed initial latent [B*n_gen, T, F, C] (the
+        reference sample_log's x_T, ddpm.py:1418-1436) — parity tests and
+        reproducible generation inject it instead of drawing from ``key``."""
         wav, mel = self._generate_jit(
             self.params,
             batch,
@@ -243,5 +251,6 @@ class LatentDiffusionModel:
             use_mask=use_mask,
             sampler=str(sampler),
             voc_folded=self._voc_folded,
+            x_T=x_T,
         )
         return np.asarray(wav), np.asarray(mel)

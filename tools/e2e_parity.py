@@ -1,0 +1,250 @@
+"""End-to-end pipeline parity vs the PyTorch reference with SHARED weights.
+
+The offline stand-in for the "spectrogram MAE < 1e-3 vs the reference per
+checkpoint" criterion (BASELINE.md): no real ``.pth`` exists in this
+zero-egress environment, so instead the reference ``LatentDiffusion`` is
+instantiated at production size with random weights (the exact shipped
+key layout — a strict-load superset, see tools/key_coverage.py), those
+weights are converted through this framework's real converter, and BOTH
+pipelines run their own full inference path from the same inputs:
+
+- reference: ``get_input -> filter_useful_cond_dict ->
+  sample_log(DDIM, x_T injected, eta=0) -> decode_first_stage ->
+  mel_spectrogram_to_waveform`` (the exact ``generate_batch`` sequence,
+  reference ``ddpm.py:1477-1553``, minus its ``assert x_T is None``)
+- this framework: ``LatentDiffusionModel.generate`` (the single jitted
+  prompt->waveform program) with the same ``x_T``, ``compute_dtype``
+  forced to float32 for a like-for-like numeric comparison
+
+Tokenization is shared: the reference's offline-dummy HF tokenizers are
+replaced with this framework's own (same ids on both sides; the reference
+keeps its dynamic ``padding=True`` semantics while this framework runs
+fixed-shape padding + masks — so the comparison also proves the masked
+cross-attention padding equivalence).
+
+Determinism: eta=0 DDIM has no per-step noise; x_T is injected; every
+conditioner of every family is deterministic at inference (T5/CLAP-text/
+phoneme encoders, AudioMAE pooling, greedy continuous-embedding GPT-2
+generation — reference ``sequence_input.py:311-323``).
+
+Usage: python tools/e2e_parity.py [family ...] [--duration 2.5] [--steps 3]
+Writes/merges docs/e2e_parity.json and prints per-family MAEs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+# zero-egress: stop transformers from retrying hub HEAD requests (minutes of
+# DNS retries per tokenizer otherwise)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+FAMILIES = [
+    "audioldm_16k_crossattn_t5",
+    "audioldm_48k",
+    "audioldm2-full",
+    "audioldm2-speech-gigaspeech",
+]
+
+
+def _swap_reference_tokenizers(ld):
+    """Replace the offline-dummy HF tokenizers inside a freshly built
+    reference model with this framework's tokenizers (exact same ids feed
+    both pipelines). FlanT5HiddenState calls ``self.tokenizer(...)``
+    (modules.py:175-181); CLAP*Freev2 calls ``self.tokenize`` via its
+    ``tokenizer`` method (modules.py:737-745)."""
+    import numpy as np
+    import torch
+    from transformers import BatchEncoding
+
+    from audioldm2_tpu.utils import text as text_utils
+
+    class _Wrap:
+        model_max_length = 512
+
+        def __init__(self, tok):
+            self._tok = tok
+
+        def __call__(self, texts, max_length=None, padding=True,
+                     truncation=True, return_tensors="pt", **kw):
+            ids, mask = self._tok(list(texts))
+            if padding != "max_length":
+                longest = max(1, int(mask.sum(axis=1).max()))
+                ids, mask = ids[:, :longest], mask[:, :longest]
+            if max_length is not None and ids.shape[1] > max_length:
+                ids, mask = ids[:, :max_length], mask[:, :max_length]
+            return BatchEncoding(
+                {
+                    "input_ids": torch.from_numpy(ids.astype(np.int64)),
+                    "attention_mask": torch.from_numpy(mask.astype(np.int64)),
+                }
+            )
+
+    for mod in ld.modules():
+        name = type(mod).__name__
+        if name == "FlanT5HiddenState":
+            mod.tokenizer = _Wrap(text_utils.t5_tokenizer(128))
+        elif name == "CLAPAudioEmbeddingClassifierFreev2":
+            # .tokenizer is a method over self.tokenize (the HF object)
+            mod.tokenize = _Wrap(text_utils.roberta_tokenizer(512))
+
+
+def _reference_generate(ld, batch, latent_t, steps, guidance, x_T_nchw):
+    """The generate_batch sequence (ddpm.py:1477-1553) with x_T injected
+    and eta=0 (generate_batch itself hard-asserts x_T is None)."""
+    import torch
+
+    ld.latent_t_size = latent_t
+    with torch.no_grad():
+        z, c = ld.get_input(batch, ld.first_stage_key, unconditional_prob_cfg=0.0)
+        c = ld.filter_useful_cond_dict(c)
+        batch_size = z.shape[0]
+        unconditional_conditioning = {}
+        if guidance != 1.0:
+            for key in ld.cond_stage_model_metadata:
+                model_idx = ld.cond_stage_model_metadata[key]["model_idx"]
+                unconditional_conditioning[key] = ld.cond_stage_models[
+                    model_idx
+                ].get_unconditional_condition(batch_size)
+        samples, _ = ld.sample_log(
+            cond=c,
+            batch_size=batch_size,
+            x_T=torch.from_numpy(x_T_nchw),
+            ddim=True,
+            ddim_steps=steps,
+            eta=0.0,
+            unconditional_guidance_scale=guidance,
+            unconditional_conditioning=unconditional_conditioning,
+        )
+        mel = ld.decode_first_stage(samples)
+        wav = ld.mel_spectrogram_to_waveform(
+            mel, savepath="", bs=None, name=["e2e"], save=False
+        )
+    return mel.numpy(), wav
+
+
+def run_family(name, text="a dog barking in the rain", transcription="",
+               duration=2.5, steps=3, guidance=3.5, seed=7):
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import _reference as ref
+    from key_coverage import build_reference_model
+
+    from audioldm2_tpu import convert, pipeline
+    from audioldm2_tpu.config import default_audioldm_config
+
+    ld = build_reference_model(name)
+    _swap_reference_tokenizers(ld)
+
+    cfg = dataclasses.replace(
+        default_audioldm_config(name), compute_dtype="float32"
+    )
+    sd = convert.state_dict_to_numpy(ld.state_dict())
+    params = pipeline.convert_state_dict(sd, cfg)
+    model = pipeline.AudioLDM2(cfg, params)
+
+    latent_t = int(round(duration * cfg.latent_t_per_second))
+    rng = np.random.default_rng(seed)
+    x_T = rng.standard_normal(
+        (1, cfg.latent_channels, latent_t, cfg.latent_f_size)
+    ).astype(np.float32)
+
+    ref_pipe = ref.load("audioldm2.pipeline")
+    batch_t = ref_pipe.make_batch_for_text_to_audio(
+        text, transcription=transcription, batchsize=1
+    )
+    mel_t, wav_t = _reference_generate(
+        ld, batch_t, latent_t, steps, guidance, x_T
+    )
+
+    batch_j = model.make_batch(text, transcription=transcription, batchsize=1)
+    wav_j, mel_j = model.ldm.generate(
+        batch_j,
+        jax.random.PRNGKey(0),
+        latent_t_size=latent_t,
+        n_gen=1,
+        guidance=guidance,
+        ddim_steps=steps,
+        ddim_eta=0.0,
+        x_T=np.transpose(x_T, (0, 2, 3, 1)),
+    )
+
+    mel_t2 = mel_t[:, 0].transpose(0, 1, 2)  # [B, Tmel, M]
+    mel_j2 = mel_j[..., 0]
+    assert mel_j2.shape == mel_t2.shape, (mel_j2.shape, mel_t2.shape)
+    mel_mae = float(np.abs(mel_j2 - mel_t2).mean())
+    mel_max = float(np.abs(mel_j2 - mel_t2).max())
+
+    wav_t2 = wav_t[:, 0] if wav_t.ndim == 3 else wav_t
+    n = min(wav_j.shape[-1], wav_t2.shape[-1])
+    wav_mae = float(np.abs(wav_j[:, :n] - wav_t2[:, :n]).mean())
+    mel_scale = float(np.abs(mel_t2).mean())
+    return {
+        "family": name,
+        "duration_s": duration,
+        "ddim_steps": steps,
+        "guidance": guidance,
+        "latent_t": latent_t,
+        "mel_shape": list(mel_j2.shape),
+        "mel_mae": mel_mae,
+        "mel_max_abs_err": mel_max,
+        "mel_mean_abs": mel_scale,
+        "wav_mae": wav_mae,
+        "transcription": transcription,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("families", nargs="*", default=None)
+    ap.add_argument("--duration", type=float, default=2.5)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--guidance", type=float, default=3.5)
+    args = ap.parse_args(argv)
+
+    fams = args.families or FAMILIES
+    sidecar = os.path.join(_ROOT, "docs", "e2e_parity.json")
+    merged = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            merged = json.load(f)
+    fail = False
+    for fam in fams:
+        transcription = (
+            "the quick brown fox" if "speech" in fam else ""
+        )
+        print(f"=== {fam} ===", flush=True)
+        r = run_family(
+            fam, transcription=transcription,
+            duration=args.duration, steps=args.steps, guidance=args.guidance,
+        )
+        ok = r["mel_mae"] < 1e-3
+        fail |= not ok
+        print(
+            f"  mel MAE {r['mel_mae']:.2e} (max {r['mel_max_abs_err']:.2e}, "
+            f"scale {r['mel_mean_abs']:.2f}) wav MAE {r['wav_mae']:.2e} "
+            f"-> {'OK' if ok else 'FAIL'}",
+            flush=True,
+        )
+        merged[fam] = r
+    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+    with open(sidecar, "w") as f:
+        json.dump(merged, f, indent=1)
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

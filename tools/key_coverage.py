@@ -164,9 +164,12 @@ class TrackingDict(dict):
         return super().get(k, default)
 
 
-def build_reference_state_dict(model_name: str):
-    """Instantiate the reference LatentDiffusion at production size and
-    return its state_dict (the exact shipped-checkpoint key layout)."""
+def build_reference_model(model_name: str):
+    """Instantiate the reference LatentDiffusion at production size with
+    random weights (offline: HF configs patched locally) and return the
+    live torch module in eval mode. Used for key-coverage proofs and for
+    end-to-end pipeline parity (tests/test_e2e_pipeline_parity.py drives
+    its generate path against this framework's with shared weights)."""
     import _reference as ref
 
     ref.install_shims()
@@ -208,9 +211,14 @@ def build_reference_state_dict(model_name: str):
     try:
         with torch.no_grad():
             ld = ddpm.LatentDiffusion(**params)
-        return ld.state_dict()
+        return ld.eval()
     finally:
         undo_patch()
+
+
+def build_reference_state_dict(model_name: str):
+    """The exact shipped-checkpoint key layout for one family."""
+    return build_reference_model(model_name).state_dict()
 
 
 def leaf_paths(tree, prefix=""):
