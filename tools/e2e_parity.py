@@ -52,6 +52,9 @@ FAMILIES = [
     "audioldm_48k",
     "audioldm2-full",
     "audioldm2-speech-gigaspeech",
+    "audioldm2-full-large-1150k",
+    "audioldm2-music-665k",
+    "audioldm2-speech-ljspeech",
 ]
 
 
