@@ -20,6 +20,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.device_count() == 8, jax.devices()
 
+# Persistent compilation cache: the suite is dominated by XLA:CPU compiles
+# of pipeline-level scan programs (~35 min cold on this single-core host);
+# repeat runs hit the cache and skip them.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
