@@ -174,10 +174,20 @@ def install_shims():
     # module import (data.py:40) — impossible offline. encoders/modules.py
     # only needs get_audio_features from it; stub the module before the real
     # one can be imported (training-only code otherwise).
-    def _get_audio_features(sample, audio_data, max_len, data_truncating,
+    def _get_audio_features(audio_data, mel, max_len, data_truncating,
                             data_filling, audio_cfg):
-        sample["waveform"] = audio_data[..., :max_len]
-        return sample
+        # Faithful to the reference clap/training/data.py:421-450 (only the
+        # inference shapes: waveform truncate + fusion stubs; the mel_fusion/
+        # longer fields are consumed only when enable_fusion=True, which no
+        # shipped checkpoint uses).
+        import torch as _torch
+
+        chunk_frames = max_len // audio_cfg["hop_size"] + 1
+        return {
+            "mel_fusion": mel[:chunk_frames],
+            "longer": _torch.tensor([True]),
+            "waveform": audio_data[..., :max_len],
+        }
 
     import os as _os
 

@@ -41,30 +41,70 @@ def test_fused_attention_kernel_interpret(rng):
     from jax.experimental import pallas as pl
     from audioldm2_tpu.ops import attention_pallas as ap
 
-    b, t, h, d = 1, 128, 2, 32
+    b, t, h, d = 2, 256, 4, 32
+    c = h * d
     q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     scale = d ** -0.5
 
-    def to_bh(x):
-        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
-
+    bq = 128  # two q-blocks per batch row exercises the grid
+    kv_spec = pl.BlockSpec((1, t, c), lambda i, _: (i, 0, 0))
+    q_spec = pl.BlockSpec((1, bq, c), lambda i, qi: (i, qi, 0))
     out = pl.pallas_call(
-        functools.partial(ap._attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
-        grid=(b * h, 1),
-        in_specs=[
-            pl.BlockSpec((1, t, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, t, d), lambda i, j: (i, j, 0)),
+        functools.partial(ap._attn_kernel, scale=scale, head_dim=d),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+        grid=(b, t // bq),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
         interpret=True,
-    )(to_bh(q), to_bh(k), to_bh(v))
-    out = jnp.transpose(out.reshape(b, h, t, d), (0, 2, 1, 3))
+    )(q.reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c))
 
-    want = nn.attention(q, k, v)
+    want = nn.attention(q, k, v).reshape(b, t, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-4)
+
+
+def test_attention_block_q_divides_all_supported_t():
+    """_block_q must return a multiple-of-128 divisor of t for every
+    supported token count, or the grid silently drops tail q-rows
+    (t=1536 = 15 s duration bucket at ds2 regression)."""
+    from audioldm2_tpu.ops import attention_pallas as ap
+
+    for t in range(128, 4096 + 1, 128):
+        bq = ap._block_q(t)
+        assert t % bq == 0, (t, bq)
+        assert bq % 128 == 0, (t, bq)
+        assert bq * t <= (1 << 20) or bq == 128, (t, bq)
+
+
+def test_fused_attention_kernel_nonpow2_t_interpret(rng):
+    """End-to-end kernel wrapper at t=1536 (non-power-of-two token count
+    where the 4 MB cap forces multiple q-blocks) in interpret mode."""
+    import functools
+    from jax.experimental import pallas as pl
+    from audioldm2_tpu.ops import attention_pallas as ap
+
+    b, t, h, d = 1, 1536, 4, 32
+    c = h * d
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    scale = d ** -0.5
+
+    bq = ap._block_q(t)
+    assert t % bq == 0 and bq < t
+    kv_spec = pl.BlockSpec((1, t, c), lambda i, _: (i, 0, 0))
+    q_spec = pl.BlockSpec((1, bq, c), lambda i, qi: (i, qi, 0))
+    out = pl.pallas_call(
+        functools.partial(ap._attn_kernel, scale=scale, head_dim=d),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+        grid=(b, t // bq),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=True,
+    )(q.reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c))
+
+    want = nn.attention(q, k, v).reshape(b, t, c)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-4)
 
 

@@ -100,7 +100,7 @@ def _swap_reference_tokenizers(ld):
             mod.tokenize = _Wrap(text_utils.roberta_tokenizer(512))
 
 
-def _reference_generate(ld, batch, latent_t, steps, guidance, x_T_nchw):
+def _reference_generate(ld, batch, latent_t, steps, guidance, x_T_nchw, n_gen=1):
     """The generate_batch sequence (ddpm.py:1477-1553) with x_T injected
     and eta=0 (generate_batch itself hard-asserts x_T is None)."""
     import torch
@@ -109,7 +109,17 @@ def _reference_generate(ld, batch, latent_t, steps, guidance, x_T_nchw):
     with torch.no_grad():
         z, c = ld.get_input(batch, ld.first_stage_key, unconditional_prob_cfg=0.0)
         c = ld.filter_useful_cond_dict(c)
-        batch_size = z.shape[0]
+        batch_size = z.shape[0] * n_gen
+        if n_gen > 1:  # candidate tiling, ddpm.py:1515-1523
+            for cond_key in c.keys():
+                if isinstance(c[cond_key], list):
+                    for i in range(len(c[cond_key])):
+                        c[cond_key][i] = torch.cat([c[cond_key][i]] * n_gen, dim=0)
+                elif isinstance(c[cond_key], dict):
+                    for k in c[cond_key].keys():
+                        c[cond_key][k] = torch.cat([c[cond_key][k]] * n_gen, dim=0)
+                else:
+                    c[cond_key] = torch.cat([c[cond_key]] * n_gen, dim=0)
         unconditional_conditioning = {}
         if guidance != 1.0:
             for key in ld.cond_stage_model_metadata:
@@ -210,20 +220,158 @@ def run_family(name, text="a dog barking in the rain", transcription="",
     }
 
 
+def run_rerank(name="audioldm_16k_crossattn_t5",
+               text="a dog barking in the rain", steps=5, guidance=3.5,
+               n_gen=3, seed=11):
+    """End-to-end CLAP candidate-rerank parity: generate n_gen candidates
+    per pipeline (same weights, same x_T, eta=0), score each with its OWN
+    rerank path (reference: clap.cos_similarity over the generated
+    waveforms, ddpm.py:1554-1568 — audio re-embedded at 48 kHz through the
+    DDPM-level CLAP; ours: models/clap.cos_similarity_waveform_text), and
+    compare similarity vectors + the selected candidate index.
+
+    Runs at duration=10 s, where the reference's truncate-at-480000 clip
+    prep and our fixed-shape prep coincide exactly. The reference's
+    torchaudio resample is routed through this framework's resampler
+    (torchaudio is absent in this image), so the comparison proves
+    everything downstream of the shared 16k->48k resample: vocoder output,
+    CLAP audio tower at production size, text tower, projections, cosine
+    scoring and argmax selection."""
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import torch
+
+    import _reference as ref
+    from key_coverage import build_reference_model
+
+    from audioldm2_tpu import convert, pipeline
+    from audioldm2_tpu.config import default_audioldm_config
+    from audioldm2_tpu.models import clap as clap_model
+    from audioldm2_tpu.utils.audio_io import resample as our_resample
+
+    ld = build_reference_model(name)
+    _swap_reference_tokenizers(ld)
+
+    # route the reference's CLAP audio frontend through our DSP:
+    # torchaudio.functional.resample (absent in this image) and the
+    # mel_transform whose output feeds only the fusion branch
+    # (enable_fusion=False in the shipped reranker, modules.py:565 — HTSAT
+    # consumes the raw waveform)
+    import torchaudio.functional as taf
+
+    def _resample(x, orig_freq, new_freq, **kw):
+        return torch.from_numpy(
+            our_resample(x.detach().cpu().numpy(), int(orig_freq), int(new_freq))
+        )
+
+    taf.resample = _resample
+    ref.load("audioldm2.latent_diffusion.modules.encoders.modules").torchaudio.functional.resample = _resample
+
+    class _MelStub(torch.nn.Module):
+        def forward(self, audio):
+            return torch.zeros(audio.shape[0], 64, audio.shape[-1] // 480 + 1)
+
+    ld.clap.mel_transform = _MelStub()
+
+    cfg = dataclasses.replace(
+        default_audioldm_config(name), compute_dtype="float32"
+    )
+    sd = convert.state_dict_to_numpy(ld.state_dict())
+    params = pipeline.convert_state_dict(sd, cfg)
+    model = pipeline.AudioLDM2(cfg, params)
+
+    duration = 10.0
+    latent_t = int(round(duration * cfg.latent_t_per_second))
+    rng = np.random.default_rng(seed)
+    x_T = rng.standard_normal(
+        (n_gen, cfg.latent_channels, latent_t, cfg.latent_f_size)
+    ).astype(np.float32)
+
+    ref_pipe = ref.load("audioldm2.pipeline")
+    batch_t = ref_pipe.make_batch_for_text_to_audio(text, batchsize=1)
+    _, wav_t = _reference_generate(
+        ld, batch_t, latent_t, steps, guidance, x_T, n_gen=n_gen
+    )
+    with torch.no_grad():
+        sim_t = ld.clap.cos_similarity(
+            torch.FloatTensor(wav_t).squeeze(1), [text] * n_gen
+        ).numpy().reshape(-1)
+    best_t = int(np.argmax(sim_t))
+
+    batch_j = model.make_batch(text, batchsize=1)
+    wav_j, _ = model.ldm.generate(
+        batch_j,
+        jax.random.PRNGKey(0),
+        latent_t_size=latent_t,
+        n_gen=n_gen,
+        guidance=guidance,
+        ddim_steps=steps,
+        ddim_eta=0.0,
+        x_T=np.transpose(x_T, (0, 2, 3, 1)),
+    )
+    sim_j = clap_model.cos_similarity_waveform_text(
+        model.ldm.params["reranker_clap"], cfg.reranker_clap, wav_j, text,
+        model.reranker_tok, cfg.preprocessing.sampling_rate,
+    ).reshape(-1)
+    best_j = int(np.argmax(sim_j))
+
+    return {
+        "family": name,
+        "n_gen": n_gen,
+        "ddim_steps": steps,
+        "similarity_ref": [round(float(s), 6) for s in sim_t],
+        "similarity_ours": [round(float(s), 6) for s in sim_j],
+        "sim_max_abs_err": float(np.abs(sim_t - sim_j).max()),
+        "selected_ref": best_t,
+        "selected_ours": best_j,
+        "selection_match": best_t == best_j,
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("families", nargs="*", default=None)
     ap.add_argument("--duration", type=float, default=2.5)
-    ap.add_argument("--steps", type=int, default=3)
+    # 5 divides 1000: the reference's uniform DDIM discretization indexes
+    # alphacums[1000] (out of bounds) for step counts that don't divide 1000
+    ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--guidance", type=float, default=3.5)
+    ap.add_argument(
+        "--rerank", action="store_true",
+        help="run the n_gen=3 CLAP candidate-rerank parity instead",
+    )
     args = ap.parse_args(argv)
 
-    fams = args.families or FAMILIES
     sidecar = os.path.join(_ROOT, "docs", "e2e_parity.json")
     merged = {}
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             merged = json.load(f)
+
+    if args.rerank:
+        name = args.families[0] if args.families else "audioldm_16k_crossattn_t5"
+        print(f"=== rerank {name} ===", flush=True)
+        r = run_rerank(name, steps=args.steps, guidance=args.guidance)
+        ok = r["selection_match"] and r["sim_max_abs_err"] < 5e-3
+        print(
+            f"  sim ref  {r['similarity_ref']}\n"
+            f"  sim ours {r['similarity_ours']}\n"
+            f"  max err {r['sim_max_abs_err']:.2e}; selected "
+            f"ref={r['selected_ref']} ours={r['selected_ours']} "
+            f"-> {'OK' if ok else 'FAIL'}",
+            flush=True,
+        )
+        merged[f"rerank:{name}"] = r
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as f:
+            json.dump(merged, f, indent=1)
+        return 0 if ok else 1
+
+    fams = args.families or FAMILIES
     fail = False
     for fam in fams:
         transcription = (
