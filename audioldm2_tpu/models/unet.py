@@ -167,38 +167,37 @@ def _resblock(p, x, emb):
     return skip + h
 
 
-def _cross_attention(p, x, context, mask, num_heads, kv=None):
+def _cross_attention(p, p_norm, x, context, mask, num_heads, kv=None):
+    """Pre-norm attention: x is the raw residual-stream input; the
+    LayerNorm fuses into the first projection on TPU (nn.ln_linear)."""
     if kv is None and context is None and "to_qkv" in p:
         # self-attention with fused projection (see fuse_self_qkv): one
         # [C, 3C] matmul keeps the MXU 3x wider than three [C, C] calls
-        q, k, v = jnp.split(nn.linear(p["to_qkv"], x), 3, axis=-1)
+        q, k, v = jnp.split(nn.ln_linear(p_norm, p["to_qkv"], x, LN_EPS), 3, axis=-1)
         q = nn.split_heads(q, num_heads)
         k = nn.split_heads(k, num_heads)
         v = nn.split_heads(v, num_heads)
-    else:
-        q = nn.split_heads(nn.linear(p["to_q"], x), num_heads)
+    elif kv is not None or context is not None:
+        q = nn.split_heads(nn.ln_linear(p_norm, p["to_q"], x, LN_EPS), num_heads)
         if kv is not None:
             k, v = kv
         else:
-            src = context if context is not None else x
-            k = nn.split_heads(nn.linear(p["to_k"], src), num_heads)
-            v = nn.split_heads(nn.linear(p["to_v"], src), num_heads)
+            k = nn.split_heads(nn.linear(p["to_k"], context), num_heads)
+            v = nn.split_heads(nn.linear(p["to_v"], context), num_heads)
+    else:
+        xn = nn.layer_norm(p_norm, x, LN_EPS)
+        q = nn.split_heads(nn.linear(p["to_q"], xn), num_heads)
+        k = nn.split_heads(nn.linear(p["to_k"], xn), num_heads)
+        v = nn.split_heads(nn.linear(p["to_v"], xn), num_heads)
     out = nn.attention(q, k, v, mask=mask if (context is not None or kv is not None) else None)
     return nn.linear(p["to_out"], nn.merge_heads(out))
 
 
-def _geglu_ff(p, x):
-    h = nn.linear(p["proj_in"], x)
-    a, gate = jnp.split(h, 2, axis=-1)
-    h = a * nn.gelu(gate)
-    return nn.linear(p["proj_out"], h)
-
-
 def _st_block(p, x, context, mask, num_heads, kv=None):
-    x = x + _cross_attention(p["attn1"], nn.layer_norm(p["norm1"], x, LN_EPS), None, None, num_heads)
-    x = x + _cross_attention(p["attn2"], nn.layer_norm(p["norm2"], x, LN_EPS), context, mask, num_heads, kv=kv)
-    x = x + _geglu_ff(p["ff"], nn.layer_norm(p["norm3"], x, LN_EPS))
-    return x
+    x = x + _cross_attention(p["attn1"], p["norm1"], x, None, None, num_heads)
+    x = x + _cross_attention(p["attn2"], p["norm2"], x, context, mask, num_heads, kv=kv)
+    h = nn.ln_linear(p["norm3"], p["ff"]["proj_in"], x, LN_EPS)
+    return nn.geglu_ff_out(p["ff"]["proj_out"], h, x)
 
 
 def _spatial_transformer(p, x, context, mask, num_heads, kvs=None):

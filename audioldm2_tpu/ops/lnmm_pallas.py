@@ -1,0 +1,163 @@
+"""Fused LayerNorm+matmul and GEGLU+matmul Pallas kernels for the UNet's
+spatial-transformer blocks.
+
+Each BasicTransformerBlock (reference ``modules/attention.py:370-410``) runs
+three LayerNorms whose outputs feed matmuls (qkv / q / GEGLU proj-in) plus a
+GEGLU gate whose product feeds the FF output matmul. XLA cannot fuse a
+row-reduction (LN) or the gate product into a dot's operand, so each of
+those intermediates takes a full HBM round trip — at [B*T, C] up to
+[2048, 640] (and [2048, 5120] for the GEGLU hidden) that is the bulk of the
+~600 small fusions per denoising step.
+
+These kernels keep the intermediate in VMEM:
+
+- ``ln_matmul``: per m-block of rows, LayerNorm in f32 (per-row stats — no
+  cross-block reduction needed), cast to the weight dtype, one MXU dot
+  against the FULL [C, N] weight block (+bias). Weights are read once per
+  m-block; x once; the LN output never exists in HBM.
+- ``geglu_matmul``: per m-block, split the [bm, 2F] GEGLU hidden into
+  value/gate lanes, ``a * gelu(g)`` (exact erf gelu, matching
+  ``jax.nn.gelu(approximate=False)``), one MXU dot against the full [F, N]
+  output weight, bias and residual added in f32.
+
+Both fall back to the identical jnp composition off-TPU / at unsupported
+shapes (see callers in ``ops/nn.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _block_m(m: int, per_row_bytes: int) -> int:
+    """Largest multiple-of-8 divisor of m whose per-block VMEM footprint
+    stays inside the budget (leaving headroom for weights, handled by the
+    callers' supported() gates)."""
+    cap = max(8, min(512, (4 * 1024 * 1024) // max(per_row_bytes, 1)))
+    bm = (cap // 8) * 8
+    while m % bm:
+        bm -= 8
+    return max(bm, 8)
+
+
+def _ln_matmul_kernel(x_ref, s_ref, b_ref, w_ref, bias_ref, o_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)  # [bm, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * s_ref[...] + b_ref[...]).astype(w_ref.dtype)
+    out = jax.lax.dot_general(
+        y, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (out + bias_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def ln_matmul(x, ln_scale, ln_bias, w, bias=None, eps: float = 1e-5):
+    """x: [B, T, C]; w: [C, N]; returns [B, T, N] in x.dtype."""
+    b, t, c = x.shape
+    n = w.shape[-1]
+    m = b * t
+    xf = x.reshape(m, c)
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    bm = _block_m(m, (c * 2) + n * 4 + n * 2)
+    out = pl.pallas_call(
+        functools.partial(_ln_matmul_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+    )(xf, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32), w,
+      bias.astype(jnp.float32))
+    return out.reshape(b, t, n)
+
+
+def ln_matmul_supported(x, w) -> bool:
+    if x.ndim != 3:
+        return False
+    b, t, c = x.shape
+    cw, n = w.shape
+    m = b * t
+    if c % 128 or n % 128 or m % 8:
+        return False
+    bm = _block_m(m, (c * 2) + n * 4 + n * 2)
+    budget = bm * c * 6 + c * n * w.dtype.itemsize + bm * n * 6 + 3 * c * 4
+    return budget <= _VMEM_BUDGET
+
+
+def _geglu_matmul_kernel(h_ref, w_ref, bias_ref, r_ref, o_ref):
+    h = h_ref[...]  # [bm, 2F]
+    f = h.shape[-1] // 2
+    a = h[:, :f].astype(jnp.float32)
+    g = h[:, f:].astype(jnp.float32)
+    u = (a * jax.nn.gelu(g, approximate=False)).astype(w_ref.dtype)
+    out = jax.lax.dot_general(
+        u, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (out + bias_ref[...] + r_ref[...].astype(jnp.float32)).astype(
+        o_ref.dtype
+    )
+
+
+@jax.jit
+def geglu_matmul(h, w, bias, residual):
+    """h: [B, T, 2F] (value|gate lanes); w: [F, N]; residual: [B, T, N];
+    returns residual + (a * gelu(g)) @ w + bias, in residual.dtype."""
+    b, t, f2 = h.shape
+    f = f2 // 2
+    n = w.shape[-1]
+    m = b * t
+    hf = h.reshape(m, f2)
+    rf = residual.reshape(m, n)
+    bm = _block_m(m, f2 * 2 + n * 4 + n * 2 * 2)
+    out = pl.pallas_call(
+        _geglu_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), residual.dtype),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, f2), lambda i: (i, 0)),
+            pl.BlockSpec((f, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+    )(hf, w, bias.astype(jnp.float32), rf)
+    return out.reshape(b, t, n)
+
+
+def geglu_matmul_supported(h, w) -> bool:
+    if h.ndim != 3:
+        return False
+    b, t, f2 = h.shape
+    f, n = w.shape
+    m = b * t
+    if f2 != 2 * f or f % 128 or n % 128 or m % 8:
+        return False
+    bm = _block_m(m, f2 * 2 + n * 4 + n * 2 * 2)
+    budget = (
+        bm * f2 * h.dtype.itemsize
+        + bm * f * 6  # a, g (f32 views are register-level; value product bf16)
+        + f * n * w.dtype.itemsize
+        + bm * n * 10
+        + n * 4
+    )
+    return budget <= _VMEM_BUDGET

@@ -306,6 +306,51 @@ def avg_pool_2d(x, window: Tuple[int, int], stride: Tuple[int, int]):
     ) / (window[0] * window[1])
 
 
+# False until A/B'd on chip; None = auto (TPU only). Fuses each spatial-
+# transformer LayerNorm into its consumer matmul and the GEGLU gate product
+# into the FF output matmul (ops/lnmm_pallas.py) — the LN outputs and the
+# [M, 2*ff] GEGLU hidden never round-trip HBM.
+USE_PALLAS_LNMM = False
+
+
+def _pallas_lnmm_enabled() -> bool:
+    if USE_PALLAS_LNMM is not None:
+        return USE_PALLAS_LNMM
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def ln_linear(p_norm, p_lin, x, eps: float = 1e-5):
+    """linear(layer_norm(x)) — fused on TPU when enabled + supported."""
+    if _pallas_lnmm_enabled():
+        from audioldm2_tpu.ops import lnmm_pallas
+
+        w = p_lin["w"]
+        if lnmm_pallas.ln_matmul_supported(x, w):
+            return lnmm_pallas.ln_matmul(
+                x, p_norm["scale"], p_norm["bias"], w.astype(x.dtype),
+                p_lin.get("b"), eps=eps,
+            )
+    return linear(p_lin, layer_norm(p_norm, x, eps))
+
+
+def geglu_ff_out(p_lin, h, residual):
+    """residual + linear(a * gelu(gate)) for GEGLU hidden h = [a|gate] —
+    fused on TPU when enabled + supported."""
+    if _pallas_lnmm_enabled():
+        from audioldm2_tpu.ops import lnmm_pallas
+
+        w = p_lin["w"]
+        if lnmm_pallas.geglu_matmul_supported(h, w):
+            return lnmm_pallas.geglu_matmul(
+                h, w.astype(h.dtype), p_lin["b"], residual
+            )
+    a, gate = jnp.split(h, 2, axis=-1)
+    return residual + linear(p_lin, a * gelu(gate))
+
+
 # None = auto (TPU only, by shape): the [B, H, T, T] f32 logits XLA
 # materializes scale linearly with batch*heads, so the flash kernel wins
 # once that traffic is large. Measured on v5e (T=1024, D=32, 20-step DDIM

@@ -162,3 +162,98 @@ def test_gn_silu_conv_gradients_flow():
     g = jax.grad(loss)(p_conv["w"])
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_ln_matmul_kernel_interpret(rng):
+    """Fused LayerNorm+matmul kernel (interpret mode) == jnp composition."""
+    import functools
+    from jax.experimental import pallas as pl
+    from audioldm2_tpu.ops import lnmm_pallas as lp
+
+    m, c, n = 64, 256, 384
+    x = jnp.asarray(rng.standard_normal((m, c)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c, n)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    bm = 32  # two m-blocks exercises the grid
+    out = pl.pallas_call(
+        functools.partial(lp._ln_matmul_kernel, eps=1e-5),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        interpret=True,
+    )(x, s, b, w, bias)
+
+    want = nn.linear(
+        {"w": w, "b": bias}, nn.layer_norm({"scale": s, "bias": b}, x)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_geglu_matmul_kernel_interpret(rng):
+    """Fused GEGLU-gate+matmul+residual kernel == jnp composition."""
+    from jax.experimental import pallas as pl
+    from audioldm2_tpu.ops import lnmm_pallas as lp
+
+    m, f, n = 64, 256, 128
+    h = jnp.asarray(rng.standard_normal((m, 2 * f)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((f, n)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+
+    bm = 32
+    out = pl.pallas_call(
+        lp._geglu_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), res.dtype),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, 2 * f), lambda i: (i, 0)),
+            pl.BlockSpec((f, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        interpret=True,
+    )(h, w, bias, res)
+
+    a, gate = jnp.split(h, 2, axis=-1)
+    want = res + nn.linear({"w": w, "b": bias}, a * nn.gelu(gate))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_ln_linear_geglu_wrappers_fallback(rng):
+    """With the flag off (default), ln_linear/geglu_ff_out equal the plain
+    composition bit-for-bit, and the restructured ST block preserves UNet
+    numerics (covered further by test_unet_parity)."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 256)), jnp.float32)
+    p_norm = {
+        "scale": jnp.asarray(rng.standard_normal(256), jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal(256), jnp.float32),
+    }
+    p_lin = {
+        "w": jnp.asarray(rng.standard_normal((256, 512)) * 0.05, jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(512), jnp.float32),
+    }
+    got = nn.ln_linear(p_norm, p_lin, x)
+    want = nn.linear(p_lin, nn.layer_norm(p_norm, x))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    h = jnp.asarray(rng.standard_normal((2, 16, 512)), jnp.float32)
+    p_out = {
+        "w": jnp.asarray(rng.standard_normal((256, 256)) * 0.05, jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(256), jnp.float32),
+    }
+    res = jnp.asarray(rng.standard_normal((2, 16, 256)), jnp.float32)
+    got = nn.geglu_ff_out(p_out, h, res)
+    a, gate = jnp.split(h, 2, axis=-1)
+    want = res + nn.linear(p_out, a * nn.gelu(gate))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -319,7 +319,22 @@ def run_rerank(name="audioldm_16k_crossattn_t5",
     ).reshape(-1)
     best_j = int(np.argmax(sim_j))
 
+    # per-candidate waveform diagnostics: does generation itself diverge
+    # (wav MAE), and did either pipeline saturate the vocoder tanh?
+    wav_t2 = wav_t[:, 0] if wav_t.ndim == 3 else wav_t
+    nmin = min(wav_j.shape[-1], wav_t2.shape[-1])
+    wav_mae_per_cand = [
+        float(np.abs(np.asarray(wav_j)[i, :nmin] - wav_t2[i, :nmin]).mean())
+        for i in range(n_gen)
+    ]
+    wav_absmax = {
+        "ref": [float(np.abs(wav_t2[i]).max()) for i in range(n_gen)],
+        "ours": [float(np.abs(np.asarray(wav_j)[i]).max()) for i in range(n_gen)],
+    }
+
     return {
+        "wav_mae_per_candidate": wav_mae_per_cand,
+        "wav_absmax": wav_absmax,
         "family": name,
         "n_gen": n_gen,
         "ddim_steps": steps,
