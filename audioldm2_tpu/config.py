@@ -331,6 +331,12 @@ class ModelConfig:
     n_candidates: int = 3
     # CLAP reranker embedded at the DDPM level (reference ddpm.py:114-120)
     reranker_clap: Optional[CLAPConfig] = field(default_factory=CLAPConfig)
+    # Opt-in serving quantization: "int8" stores the UNet spatial-transformer
+    # matmul weights as int8 with per-output-channel scales, streamed at half
+    # the bf16 bytes and dequantized only inside the Pallas matmul kernels
+    # (ops/quant.py). None = full-precision weights (default; parity tests
+    # always run with None).
+    weight_quant: Optional[str] = None
 
 
 def _clap_spec(name: str = "film_clap_cond1") -> ConditionerSpec:

@@ -138,6 +138,10 @@ def _generate_impl(
     # Fuse self-attention q/k/v into one wide matmul per block (also a
     # one-time transform outside the scan).
     unet_p = unet.fuse_self_qkv(unet_p)
+    if cfg.weight_quant == "int8":
+        # Opt-in serving quantization: ST matmul weights stream as int8
+        # (half the bytes) and dequantize only inside the Pallas kernels.
+        unet_p = unet.quantize_st_linears(unet_p)
 
     def model_fn(x, t):
         eps = unet.apply_unet(

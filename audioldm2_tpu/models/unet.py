@@ -277,6 +277,29 @@ def fuse_self_qkv(params):
     return p
 
 
+_QUANT_KEYS = ("to_qkv", "to_q", "to_out", "proj_in", "proj_out")
+
+
+def quantize_st_linears(params):
+    """int8-quantize the spatial-transformer matmul weights that stream
+    from HBM every denoising step (attention projections + GEGLU FF). Skips
+    to_k/to_v (cross K/V are precomputed outside the scan by
+    precompute_cross_kv, so their weights are read once per call, not per
+    step) and all convolutions. Apply AFTER fuse_self_qkv and
+    precompute_cross_kv, once per generate call, outside the scan."""
+    from audioldm2_tpu.ops import quant
+
+    def pred(path, p):
+        if not path or path[-1] not in _QUANT_KEYS:
+            return False
+        if not any(seg in ("attn1", "attn2", "ff") for seg in path):
+            return False
+        k, n = p["w"].shape
+        return k % 128 == 0 and n % 128 == 0
+
+    return quant.quantize_tree(params, pred)
+
+
 def precompute_cross_kv(params, cfg: UNetConfig, context_list):
     """Cross-attention K/V projections depend only on the (loop-invariant)
     contexts; computing them once outside the DDIM scan removes ~30 hoisted

@@ -48,29 +48,47 @@ def _block_m(m: int, per_row_bytes: int) -> int:
     return max(bm, 8)
 
 
-def _ln_matmul_kernel(x_ref, s_ref, b_ref, w_ref, bias_ref, o_ref, *, eps: float):
+def _cast_for_mxu(w, like_dtype):
+    """int8 weight tiles are cast to bf16 IN VMEM (values <= 127 are exact
+    in bf16); the per-output-column quantization scale is applied to the
+    matmul OUTPUT instead of the weight — mathematically identical and
+    O(bm*N) instead of O(K*N) VPU work, and the dequantized weight never
+    exists in HBM."""
+    if w.dtype == jnp.int8:
+        return w.astype(jnp.bfloat16)
+    return w.astype(like_dtype)
+
+
+def _ln_matmul_kernel(x_ref, s_ref, b_ref, w_ref, ws_ref, bias_ref, o_ref,
+                      *, eps: float):
     x = x_ref[...].astype(jnp.float32)  # [bm, C]
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = (y * s_ref[...] + b_ref[...]).astype(w_ref.dtype)
+    y = (y * s_ref[...] + b_ref[...]).astype(
+        jnp.bfloat16 if w_ref.dtype == jnp.int8 else w_ref.dtype
+    )
     out = jax.lax.dot_general(
-        y, w_ref[...],
+        y, _cast_for_mxu(w_ref[...], y.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = (out + bias_ref[...]).astype(o_ref.dtype)
+    o_ref[...] = (out * ws_ref[...] + bias_ref[...]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
-def ln_matmul(x, ln_scale, ln_bias, w, bias=None, eps: float = 1e-5):
-    """x: [B, T, C]; w: [C, N]; returns [B, T, N] in x.dtype."""
+def ln_matmul(x, ln_scale, ln_bias, w, bias=None, w_scale=None,
+              eps: float = 1e-5):
+    """x: [B, T, C]; w: [C, N] (f32/bf16 or int8 with per-column w_scale);
+    returns [B, T, N] in x.dtype."""
     b, t, c = x.shape
     n = w.shape[-1]
     m = b * t
     xf = x.reshape(m, c)
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
+    if w_scale is None:
+        w_scale = jnp.ones((n,), jnp.float32)
     bm = _block_m(m, (c * 2) + n * 4 + n * 2)
     out = pl.pallas_call(
         functools.partial(_ln_matmul_kernel, eps=eps),
@@ -82,11 +100,69 @@ def ln_matmul(x, ln_scale, ln_bias, w, bias=None, eps: float = 1e-5):
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c, n), lambda i: (0, 0)),
             pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((n,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
     )(xf, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32), w,
-      bias.astype(jnp.float32))
+      w_scale.astype(jnp.float32), bias.astype(jnp.float32))
     return out.reshape(b, t, n)
+
+
+def _matmul_kernel(x_ref, w_ref, ws_ref, bias_ref, o_ref):
+    x = x_ref[...]
+    out = jax.lax.dot_general(
+        x, _cast_for_mxu(w_ref[...], x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (out * ws_ref[...] + bias_ref[...]).astype(o_ref.dtype)
+
+
+@jax.jit
+def int8_matmul(x, wq, w_scale, bias=None):
+    """x: [..., K]; wq: int8 [K, N] with per-column w_scale [N]; returns
+    [..., N] in x.dtype. The int8 tile streams from HBM at half the bf16
+    bytes and is dequantized only in VMEM."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq.shape[-1]
+    m = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(m, k)
+    pad = (-m) % 8
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    mp = m + pad
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    bm = _block_m(mp, k * x.dtype.itemsize + n * 6)
+    out = pl.pallas_call(
+        _matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+    )(xf, wq, w_scale.astype(jnp.float32), bias.astype(jnp.float32))
+    if pad:
+        out = out[:m]
+    return out.reshape(*lead, n)
+
+
+def int8_matmul_supported(x, wq) -> bool:
+    k, n = wq.shape
+    if x.shape[-1] != k or k % 128 or n % 128:
+        return False
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    mp = m + ((-m) % 8)
+    bm = _block_m(mp, k * x.dtype.itemsize + n * 6)
+    budget = bm * k * x.dtype.itemsize + k * n + bm * n * 6 + n * 8
+    return budget <= _VMEM_BUDGET
 
 
 def ln_matmul_supported(x, w) -> bool:
@@ -102,32 +178,37 @@ def ln_matmul_supported(x, w) -> bool:
     return budget <= _VMEM_BUDGET
 
 
-def _geglu_matmul_kernel(h_ref, w_ref, bias_ref, r_ref, o_ref):
+def _geglu_matmul_kernel(h_ref, w_ref, ws_ref, bias_ref, r_ref, o_ref):
     h = h_ref[...]  # [bm, 2F]
     f = h.shape[-1] // 2
     a = h[:, :f].astype(jnp.float32)
     g = h[:, f:].astype(jnp.float32)
-    u = (a * jax.nn.gelu(g, approximate=False)).astype(w_ref.dtype)
+    u = (a * jax.nn.gelu(g, approximate=False)).astype(
+        jnp.bfloat16 if w_ref.dtype == jnp.int8 else w_ref.dtype
+    )
     out = jax.lax.dot_general(
-        u, w_ref[...],
+        u, _cast_for_mxu(w_ref[...], u.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = (out + bias_ref[...] + r_ref[...].astype(jnp.float32)).astype(
-        o_ref.dtype
-    )
+    o_ref[...] = (
+        out * ws_ref[...] + bias_ref[...] + r_ref[...].astype(jnp.float32)
+    ).astype(o_ref.dtype)
 
 
 @jax.jit
-def geglu_matmul(h, w, bias, residual):
-    """h: [B, T, 2F] (value|gate lanes); w: [F, N]; residual: [B, T, N];
-    returns residual + (a * gelu(g)) @ w + bias, in residual.dtype."""
+def geglu_matmul(h, w, bias, residual, w_scale=None):
+    """h: [B, T, 2F] (value|gate lanes); w: [F, N] (f32/bf16 or int8 with
+    per-column w_scale); residual: [B, T, N]; returns
+    residual + (a * gelu(g)) @ w + bias, in residual.dtype."""
     b, t, f2 = h.shape
     f = f2 // 2
     n = w.shape[-1]
     m = b * t
     hf = h.reshape(m, f2)
     rf = residual.reshape(m, n)
+    if w_scale is None:
+        w_scale = jnp.ones((n,), jnp.float32)
     bm = _block_m(m, f2 * 2 + n * 4 + n * 2 * 2)
     out = pl.pallas_call(
         _geglu_matmul_kernel,
@@ -137,10 +218,11 @@ def geglu_matmul(h, w, bias, residual):
             pl.BlockSpec((bm, f2), lambda i: (i, 0)),
             pl.BlockSpec((f, n), lambda i: (0, 0)),
             pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((n,), lambda i: (0,)),
             pl.BlockSpec((bm, n), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
-    )(hf, w, bias.astype(jnp.float32), rf)
+    )(hf, w, w_scale.astype(jnp.float32), bias.astype(jnp.float32), rf)
     return out.reshape(b, t, n)
 
 

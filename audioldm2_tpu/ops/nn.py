@@ -91,10 +91,24 @@ def norm_init(channels):
 
 
 def linear(p, x):
+    if "wq" in p:  # int8-quantized (ops/quant.py)
+        from audioldm2_tpu.ops import lnmm_pallas, quant
+
+        if _on_tpu() and lnmm_pallas.int8_matmul_supported(x, p["wq"]):
+            return lnmm_pallas.int8_matmul(x, p["wq"], p["ws"], p.get("b"))
+        p = {"w": quant.dequantize(p), **{k: v for k, v in p.items()
+                                          if k not in ("wq", "ws")}}
     y = jnp.einsum("...i,io->...o", x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
     return y.astype(x.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def conv2d(p, x, stride: Tuple[int, int] = (1, 1), padding="SAME"):
@@ -316,22 +330,25 @@ USE_PALLAS_LNMM = False
 def _pallas_lnmm_enabled() -> bool:
     if USE_PALLAS_LNMM is not None:
         return USE_PALLAS_LNMM
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return _on_tpu()
 
 
 def ln_linear(p_norm, p_lin, x, eps: float = 1e-5):
-    """linear(layer_norm(x)) — fused on TPU when enabled + supported."""
-    if _pallas_lnmm_enabled():
+    """linear(layer_norm(x)) — fused on TPU when enabled + supported.
+    int8-quantized linears always take the kernel on TPU (the fallback's
+    inline dequant would be hoisted out of the sampling scan by XLA,
+    defeating the halved weight streaming)."""
+    quantized = "wq" in p_lin
+    if quantized or _pallas_lnmm_enabled():
         from audioldm2_tpu.ops import lnmm_pallas
 
-        w = p_lin["w"]
-        if lnmm_pallas.ln_matmul_supported(x, w):
+        w = p_lin["wq"] if quantized else p_lin["w"]
+        if (quantized and _on_tpu() or not quantized) and \
+                lnmm_pallas.ln_matmul_supported(x, w):
             return lnmm_pallas.ln_matmul(
-                x, p_norm["scale"], p_norm["bias"], w.astype(x.dtype),
-                p_lin.get("b"), eps=eps,
+                x, p_norm["scale"], p_norm["bias"],
+                w if quantized else w.astype(x.dtype),
+                p_lin.get("b"), p_lin.get("ws"), eps=eps,
             )
     return linear(p_lin, layer_norm(p_norm, x, eps))
 
@@ -339,13 +356,16 @@ def ln_linear(p_norm, p_lin, x, eps: float = 1e-5):
 def geglu_ff_out(p_lin, h, residual):
     """residual + linear(a * gelu(gate)) for GEGLU hidden h = [a|gate] —
     fused on TPU when enabled + supported."""
-    if _pallas_lnmm_enabled():
+    quantized = "wq" in p_lin
+    if quantized or _pallas_lnmm_enabled():
         from audioldm2_tpu.ops import lnmm_pallas
 
-        w = p_lin["w"]
-        if lnmm_pallas.geglu_matmul_supported(h, w):
+        w = p_lin["wq"] if quantized else p_lin["w"]
+        if (quantized and _on_tpu() or not quantized) and \
+                lnmm_pallas.geglu_matmul_supported(h, w):
             return lnmm_pallas.geglu_matmul(
-                h, w.astype(h.dtype), p_lin["b"], residual
+                h, w if quantized else w.astype(h.dtype), p_lin["b"],
+                residual, p_lin.get("ws"),
             )
     a, gate = jnp.split(h, 2, axis=-1)
     return residual + linear(p_lin, a * gelu(gate))

@@ -280,13 +280,22 @@ def build_model(
     config=None,
     device=None,
     model_name: str = "audioldm2-full",
+    weight_quant: Optional[str] = None,
 ) -> AudioLDM2:
     """Reference-compatible factory (reference pipeline.py:142-179).
 
     If ``ckpt_path`` is None or missing, the model is randomly initialized
     (zero-egress environments have no checkpoints; all structure and
-    performance paths are identical)."""
+    performance paths are identical).
+
+    ``weight_quant="int8"`` (or env AUDIOLDM2_WEIGHT_QUANT=int8) opts into
+    int8 UNet matmul-weight streaming for serving (ops/quant.py)."""
     cfg = config if isinstance(config, ModelConfig) else default_audioldm_config(model_name)
+    weight_quant = weight_quant or os.environ.get("AUDIOLDM2_WEIGHT_QUANT") or None
+    if weight_quant:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, weight_quant=weight_quant)
     enable_compilation_cache()
     if ckpt_path is not None and os.path.exists(ckpt_path):
         params = load_checkpoint_params(ckpt_path, cfg)

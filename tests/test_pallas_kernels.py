@@ -188,10 +188,11 @@ def test_ln_matmul_kernel_interpret(rng):
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c, n), lambda i: (0, 0)),
             pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((n,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
         interpret=True,
-    )(x, s, b, w, bias)
+    )(x, s, b, w, jnp.ones((n,), jnp.float32), bias)
 
     want = nn.linear(
         {"w": w, "b": bias}, nn.layer_norm({"scale": s, "bias": b}, x)
@@ -219,11 +220,12 @@ def test_geglu_matmul_kernel_interpret(rng):
             pl.BlockSpec((bm, 2 * f), lambda i: (i, 0)),
             pl.BlockSpec((f, n), lambda i: (0, 0)),
             pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((n,), lambda i: (0,)),
             pl.BlockSpec((bm, n), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
         interpret=True,
-    )(h, w, bias, res)
+    )(h, w, jnp.ones((n,), jnp.float32), bias, res)
 
     a, gate = jnp.split(h, 2, axis=-1)
     want = res + nn.linear({"w": w, "b": bias}, a * nn.gelu(gate))
@@ -257,3 +259,104 @@ def test_ln_linear_geglu_wrappers_fallback(rng):
     a, gate = jnp.split(h, 2, axis=-1)
     want = res + nn.linear(p_out, a * nn.gelu(gate))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_quantize_roundtrip(rng):
+    """Per-output-channel int8 round trip: worst-case relative error per
+    column bounded by scale/2 (i.e. <= ~0.4% of the column absmax)."""
+    from audioldm2_tpu.ops import quant
+
+    w = jnp.asarray(rng.standard_normal((256, 384)) * 0.07, jnp.float32)
+    q, s = quant.quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (384,)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    err = np.abs(back - np.asarray(w)).max(axis=0)
+    assert (err <= np.asarray(s) * 0.5 + 1e-8).all()
+
+
+def test_int8_matmul_kernel_interpret(rng):
+    """int8 matmul kernel (interpret mode): output-scale dequant equals the
+    explicit dequantized matmul exactly (int8 values are exact in bf16/f32;
+    scale applied per output column)."""
+    from jax.experimental import pallas as pl
+    from audioldm2_tpu.ops import lnmm_pallas as lp, quant
+
+    m, k, n = 64, 256, 128
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    wq, ws = quant.quantize_weight(w)
+
+    bm = 32
+    out = pl.pallas_call(
+        lp._matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        interpret=True,
+    )(x, wq, ws, bias)
+
+    want = x @ (wq.astype(jnp.float32) * ws) + bias
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_quantized_linear_fallback_and_unet_quant_transform(rng):
+    """nn.linear on a quantized dict (CPU fallback) == dequantized matmul;
+    quantize_st_linears converts exactly the ST matmuls and the quantized
+    UNet forward stays close to the f32 one."""
+    from audioldm2_tpu.models import unet as junet
+    from audioldm2_tpu.models.unet import UNetConfig
+    from audioldm2_tpu.ops import quant
+
+    p = {
+        "w": jnp.asarray(rng.standard_normal((256, 128)) * 0.05, jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(128), jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((2, 16, 256)), jnp.float32)
+    qp = quant.quantize_linear_dict(p)
+    got = nn.linear(qp, x)
+    want = nn.linear({"w": quant.dequantize(qp), "b": p["b"]}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    cfg = UNetConfig(
+        model_channels=128, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(2,), context_dims=(None,),
+        num_head_channels=32, in_channels=8, out_channels=8,
+    )
+    params = junet.init_unet(jax.random.PRNGKey(0), cfg)
+    params = junet.fuse_self_qkv(params)
+    qparams = junet.quantize_st_linears(params)
+
+    n_q = []
+
+    def count(node, path=()):
+        if isinstance(node, dict):
+            if "wq" in node:
+                n_q.append(path)
+                assert path[-1] in junet._QUANT_KEYS, path
+            for k, v in node.items():
+                count(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                count(v, path + (i,))
+
+    count(qparams)
+    assert len(n_q) > 0
+
+    x = rng.standard_normal((1, 16, 8, 8)).astype(np.float32)
+    ts = np.array([3.0], np.float32)
+    out_f = np.asarray(junet.apply_unet(params, cfg, x, ts))
+    out_q = np.asarray(junet.apply_unet(qparams, cfg, x, ts))
+    assert out_q.shape == out_f.shape
+    assert np.isfinite(out_q).all()
+    # int8 noise is small relative to activations
+    denom = np.abs(out_f).mean() + 1e-6
+    assert np.abs(out_q - out_f).mean() / denom < 0.05, (
+        np.abs(out_q - out_f).mean(), denom
+    )

@@ -276,6 +276,13 @@ def run_rerank(name="audioldm_16k_crossattn_t5",
             return torch.zeros(audio.shape[0], 64, audio.shape[-1] // 480 + 1)
 
     ld.clap.mel_transform = _MelStub()
+    # Reference quirk: the DDPM-level CLAP keeps its training-time
+    # unconditional_prob=0.1 (modules.py:554, ddpm.py:114-120), so forward()
+    # randomly replaces ~10% of embeddings with the empty-string embedding
+    # EVEN during rerank scoring (modules.py:731-733) — candidates then get
+    # the cos(uncond, text) score. This framework scores all candidates
+    # deterministically; zero the probability for an apples-to-apples check.
+    ld.clap.unconditional_prob = 0.0
 
     cfg = dataclasses.replace(
         default_audioldm_config(name), compute_dtype="float32"
