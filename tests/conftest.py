@@ -23,7 +23,17 @@ assert jax.device_count() == 8, jax.devices()
 # Persistent compilation cache: the suite is dominated by XLA:CPU compiles
 # of pipeline-level scan programs (~35 min cold on this single-core host);
 # repeat runs hit the cache and skip them.
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+# Keyed per host micro-arch: XLA:CPU AOT entries bake in machine features and
+# replaying one from a different host warns / risks wrong results (see
+# pipeline._host_fingerprint).
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from audioldm2_tpu.pipeline import _host_fingerprint  # noqa: E402
+
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache-" + _host_fingerprint()
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -148,3 +148,15 @@ def test_ddim_deterministic_given_key():
     c = ddim_sample(eps_fn, jax.random.PRNGKey(8), SHAPE, SCHED, num_steps=5, eta=1.0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
+
+
+def test_non_divisor_ddim_steps_raises_clearly():
+    """ddim_steps that don't divide the schedule raise a ValueError (the
+    reference IndexErrors on the same inputs, util.py:55-75)."""
+    import pytest
+
+    from audioldm2_tpu.diffusion.schedule import make_ddim_timesteps
+
+    with pytest.raises(ValueError, match="evenly divide"):
+        make_ddim_timesteps(3, 1000)
+    assert make_ddim_timesteps(4, 1000).tolist() == [1, 251, 501, 751]

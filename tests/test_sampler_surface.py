@@ -66,6 +66,23 @@ def test_ancestral_sampler_reachable_from_pipeline(tiny_model):
     assert np.isfinite(wav).all()
 
 
+def test_last_timings_observability(tiny_model, capsys, monkeypatch):
+    """Every text_to_audio call records host-visible stage timings
+    (tokenize / generate / rerank) on model.last_timings; AUDIOLDM2_TIMINGS
+    prints a one-line summary."""
+    monkeypatch.setenv("AUDIOLDM2_TIMINGS", "1")
+    pipeline.text_to_audio(
+        tiny_model, "rain", seed=3, ddim_steps=2, duration=0.64,
+        n_candidate_gen_per_text=1, duration_bucket=None,
+    )
+    t = tiny_model.last_timings
+    for k in ("tokenize_s", "generate_s", "rerank_s", "total_s", "x_realtime"):
+        assert k in t and np.isfinite(t[k])
+    assert t["generate_s"] > 0
+    assert t["total_s"] >= t["generate_s"]
+    assert "[audioldm2_tpu]" in capsys.readouterr().out
+
+
 def test_cli_sampler_flag():
     from audioldm2_tpu.cli import build_parser
 
