@@ -243,6 +243,11 @@ def leaf_paths(tree, prefix=""):
 
 def check_family(model_name: str):
     import jax
+
+    # Pure CPU workload (torch graphs + numpy conversion + structure match):
+    # never init the force-registered TPU backend — with the tunnel down its
+    # discovery retry loop blocks this tool indefinitely.
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from audioldm2_tpu import convert, pipeline
