@@ -48,6 +48,26 @@ def _block_m(m: int, per_row_bytes: int) -> int:
     return max(bm, 8)
 
 
+def _erf_f32(x):
+    """Pallas-TPU-lowerable erf (the `erf`/`erfc` primitives have no Mosaic
+    lowering): Abramowitz & Stegun 7.1.26 rational approximation, max abs
+    error 1.5e-7 in f32 — ~3 decimal orders below bf16 ulp, so the fused
+    gelu is indistinguishable from jax.nn.gelu(approximate=False) in this
+    bf16 pipeline."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + p * z)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(g):
+    """0.5*g*(1+erf(g/sqrt(2))) via _erf_f32; g must be f32."""
+    return 0.5 * g * (1.0 + _erf_f32(g * np.float32(1.0 / np.sqrt(2.0))))
+
+
 def _cast_for_mxu(w, like_dtype):
     """int8 weight tiles are cast to bf16 IN VMEM (values <= 127 are exact
     in bf16); the per-output-column quantization scale is applied to the
@@ -183,7 +203,7 @@ def _geglu_matmul_kernel(h_ref, w_ref, ws_ref, bias_ref, r_ref, o_ref):
     f = h.shape[-1] // 2
     a = h[:, :f].astype(jnp.float32)
     g = h[:, f:].astype(jnp.float32)
-    u = (a * jax.nn.gelu(g, approximate=False)).astype(
+    u = (a * _gelu_exact(g)).astype(
         jnp.bfloat16 if w_ref.dtype == jnp.int8 else w_ref.dtype
     )
     out = jax.lax.dot_general(
