@@ -62,19 +62,33 @@ def ddim_sample(
     temperature: float = 1.0,
     dtype=jnp.float32,
     unroll: int = 2,
+    t_start: Optional[int] = None,
 ) -> jnp.ndarray:
     """Run the full DDIM trajectory; returns x_0-latents [B, ...].
 
     shape: static latent shape (B, T, F, C). mask: [B, T, F, 1] with 1 =
     keep original (q-sampled x0) — inpainting semantics of the reference.
+    t_start: run only the first ``t_start`` subset steps (descending from
+    subset index t_start-1) — the reference DDIM ``decode`` trajectory
+    (ddim.py:451-491); x_T is then the latent at subset step t_start.
     """
     ts, alphas, alphas_prev, sigmas = make_ddim_params(schedule, num_steps, eta)
+    if t_start is not None:
+        ts = ts[:t_start]
+        alphas = alphas[:t_start]
+        alphas_prev = alphas_prev[:t_start]
+        sigmas = sigmas[:t_start]
     # reverse order: iterate t descending (reference np.flip(timesteps))
     ts_r = jnp.asarray(ts[::-1].copy())
     al_r = jnp.asarray(alphas[::-1].copy())
     ap_r = jnp.asarray(alphas_prev[::-1].copy())
     sg_r = jnp.asarray(sigmas[::-1].copy())
 
+    if key is None:
+        # fully deterministic call (eta=0, x_T given, no mask) — e.g.
+        # ddim_decode; the step keys below are split but never consumed
+        assert x_T is not None and eta == 0.0 and mask is None
+        key = jax.random.PRNGKey(0)
     key, k_init = jax.random.split(key)
     img = x_T if x_T is not None else jax.random.normal(k_init, shape, dtype)
     step_keys = jax.random.split(key, len(ts))
@@ -117,3 +131,56 @@ def q_sample(
 ) -> jnp.ndarray:
     """Forward diffusion q(x_t | x_0) (reference ddpm.py:430-436)."""
     return schedule_sqrt_acum[t] * x0 + schedule_sqrt_1macum[t] * noise
+
+
+def stochastic_encode(
+    key: Optional[jax.Array],
+    x0: jnp.ndarray,
+    t_index,
+    schedule: DiffusionSchedule,
+    num_steps: int = 200,
+    noise: Optional[jnp.ndarray] = None,
+    use_original_steps: bool = False,
+) -> jnp.ndarray:
+    """Diffuse a clean latent forward to DDIM-subset step ``t_index``
+    (reference ddim.py:433-449): the audio-to-audio / editing entry —
+    encode a real latent partway, then :func:`decode` it back under new
+    conditioning.
+
+    ``t_index`` indexes the DDIM subset (0..num_steps-1) unless
+    ``use_original_steps``, in which case it is a raw DDPM timestep.
+    """
+    if use_original_steps:
+        sqrt_a = jnp.asarray(schedule.sqrt_alphas_cumprod)
+        sqrt_1ma = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)
+    else:
+        _, alphas, _, _ = make_ddim_params(schedule, num_steps, eta=0.0)
+        sqrt_a = jnp.sqrt(jnp.asarray(alphas))
+        sqrt_1ma = jnp.sqrt(1.0 - jnp.asarray(alphas))
+    if noise is None:
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
+    return sqrt_a[t_index] * x0 + sqrt_1ma[t_index] * noise
+
+
+def ddim_decode(
+    eps_fn: EpsFn,
+    x_latent: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    t_start: int,
+    num_steps: int = 200,
+    unroll: int = 2,
+) -> jnp.ndarray:
+    """Deterministically denoise a :func:`stochastic_encode`-d latent from
+    DDIM-subset step ``t_start`` down to x_0 (reference ddim.py:451-491 —
+    the loop there walks ``np.flip(timesteps[:t_start])`` with eta=0)."""
+    return ddim_sample(
+        eps_fn,
+        None,
+        x_latent.shape,
+        schedule,
+        num_steps=num_steps,
+        eta=0.0,
+        x_T=x_latent,
+        t_start=int(t_start),
+        unroll=unroll,
+    )

@@ -156,19 +156,18 @@ def _generate_impl(
     else:
         eps_fn = model_fn
 
-    assert not (sampler == "plms" and use_mask), (
-        "PLMS does not support mask inpainting (reference parity)"
-    )
     mask = x0 = None
     if use_mask:
         mask = _tile(batch["inpaint_mask"], n_gen)
         x0 = _tile(batch["inpaint_x0"], n_gen)
 
     # sampler selection mirrors reference sample_log (ddpm.py:1417-1474):
-    # DDIM / PLMS / full ancestral DDPM.
+    # DDIM / PLMS / full ancestral DDPM. All three support the mask blend
+    # (reference ddim.py:226-231, plms.py:222-227).
     if sampler == "plms":
         z = plms.plms_sample(
-            eps_fn, key, shape, schedule, num_steps=ddim_steps, x_T=x_T
+            eps_fn, key, shape, schedule, num_steps=ddim_steps,
+            mask=mask, x0=x0, x_T=x_T,
         )
     elif sampler == "ddpm":
         z = ddpm_ancestral.ddpm_sample(

@@ -29,8 +29,13 @@ def plms_sample(
     schedule: DiffusionSchedule,
     num_steps: int = 200,
     x_T: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
+    """mask: [B, T, F, 1] with 1 = keep original (q-sampled x0) — the same
+    inpainting blend as DDIM, which the reference PLMS also implements
+    (reference plms.py:103,222-227)."""
     ts, alphas, alphas_prev, _ = make_ddim_params(schedule, num_steps, eta=0.0)
     n = len(ts)
     ts_r = jnp.asarray(ts[::-1].copy())
@@ -39,7 +44,11 @@ def plms_sample(
     # t_next for each step = the following (smaller) timestep; last -> 0
     ts_next_r = jnp.concatenate([ts_r[1:], jnp.zeros((1,), jnp.int32)])
 
-    img = x_T if x_T is not None else jax.random.normal(key, shape, dtype)
+    key, k_init = jax.random.split(key)
+    img = x_T if x_T is not None else jax.random.normal(k_init, shape, dtype)
+    step_keys = jax.random.split(key, n)
+    sqrt_acum = jnp.asarray(schedule.sqrt_alphas_cumprod)
+    sqrt_1macum = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)
     b = shape[0]
 
     def x_prev_from_eps(x, e_t, a_t, a_prev):
@@ -49,7 +58,13 @@ def plms_sample(
 
     def body(carry, per_step):
         img, old_eps, count = carry
-        t, t_next, a_t, a_prev = per_step
+        t, t_next, a_t, a_prev, k = per_step
+
+        if mask is not None:
+            img_orig = sqrt_acum[t] * x0 + sqrt_1macum[t] * jax.random.normal(
+                k, x0.shape, dtype
+            )
+            img = img_orig * mask + (1.0 - mask) * img
 
         tb = jnp.full((b,), t, jnp.int32)
         e_t = eps_fn(img, tb)
@@ -82,6 +97,6 @@ def plms_sample(
 
     old_eps0 = jnp.zeros((3,) + tuple(shape), dtype)
     (img, _, _), _ = jax.lax.scan(
-        body, (img, old_eps0, jnp.int32(0)), (ts_r, ts_next_r, al_r, ap_r)
+        body, (img, old_eps0, jnp.int32(0)), (ts_r, ts_next_r, al_r, ap_r, step_keys)
     )
     return img

@@ -160,3 +160,75 @@ def test_non_divisor_ddim_steps_raises_clearly():
     with pytest.raises(ValueError, match="evenly divide"):
         make_ddim_timesteps(3, 1000)
     assert make_ddim_timesteps(4, 1000).tolist() == [1, 251, 501, 751]
+
+
+def test_stochastic_encode_parity(rng):
+    """stochastic_encode vs reference ddim.py:433-449 with shared noise —
+    both DDIM-subset and raw-DDPM-timestep indexing."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from audioldm2_tpu.diffusion.ddim import stochastic_encode
+
+    ddim_mod = _reference.load("audioldm2.latent_diffusion.models.ddim")
+    sampler = ddim_mod.DDIMSampler(_FakeTorchModel(torch), device=torch.device("cpu"))
+    sampler.make_schedule(ddim_num_steps=20, ddim_eta=0.0, verbose=False)
+
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    noise = rng.standard_normal(SHAPE).astype(np.float32)
+    for t_index, use_orig in [(7, False), (19, False), (431, True)]:
+        with torch.no_grad():
+            ref = sampler.stochastic_encode(
+                torch.from_numpy(x0),
+                torch.full((SHAPE[0],), t_index, dtype=torch.long),
+                use_original_steps=use_orig,
+                noise=torch.from_numpy(noise),
+            )
+        out = stochastic_encode(
+            None, jax.numpy.asarray(x0), t_index, SCHED, num_steps=20,
+            noise=jax.numpy.asarray(noise), use_original_steps=use_orig,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+
+
+def test_ddim_decode_trajectory_parity(rng):
+    """ddim_decode (the audio-to-audio editing path) vs the reference
+    decode loop over np.flip(timesteps[:t_start]) (ddim.py:451-491), CFG on."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from audioldm2_tpu.diffusion.ddim import ddim_decode, stochastic_encode
+
+    ddim_mod = _reference.load("audioldm2.latent_diffusion.models.ddim")
+    sampler = ddim_mod.DDIMSampler(_FakeTorchModel(torch), device=torch.device("cpu"))
+    sampler.make_schedule(ddim_num_steps=20, ddim_eta=0.0, verbose=False)
+
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    noise = rng.standard_normal(SHAPE).astype(np.float32)
+    t_start = 13
+    x_enc = stochastic_encode(
+        None, jnp.asarray(x0), t_start - 1, SCHED, num_steps=20,
+        noise=jnp.asarray(noise),
+    )
+    with torch.no_grad():
+        ref = sampler.decode(
+            torch.from_numpy(np.asarray(x_enc)),
+            {"kind": "cond"},
+            t_start,
+            unconditional_guidance_scale=GUIDANCE,
+            unconditional_conditioning={"kind": "uncond"},
+        )
+
+    def model_fn(x2, t2):
+        b = SHAPE[0]
+        e_u = _analytic_eps(x2[:b], t2[:b], 0.05)
+        e_c = _analytic_eps(x2[b:], t2[b:], 0.10)
+        import jax.numpy as jnp
+
+        return jnp.concatenate([e_u, e_c], axis=0)
+
+    out = ddim_decode(
+        cfg_eps_fn(model_fn, GUIDANCE), x_enc, SCHED, t_start, num_steps=20
+    )
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-4, rtol=1e-3)

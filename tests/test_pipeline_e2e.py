@@ -91,3 +91,26 @@ def test_batchsize_two(tiny_model):
         batchsize=2, n_candidate_gen_per_text=2, duration_bucket=None,
     )
     assert wav.shape == (2, 1, 1024)
+
+
+def test_sr_inpainting_plms(tiny_model, tmp_path):
+    """--mode sr_inpainting --sampler plms: the reference PLMS has the same
+    mask blend as DDIM (plms.py:222-227); round 2 wrongly refused it."""
+    sr = 1600
+    t = np.arange(sr) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    path = str(tmp_path / "in_plms.wav")
+    wavfile.write(path, sr, (tone * 32767).astype(np.int16))
+
+    wav = pipeline.super_resolution_and_inpainting(
+        tiny_model,
+        "a pure tone",
+        original_audio_file_path=path,
+        seed=3,
+        ddim_steps=4,
+        duration=0.64,
+        n_candidate_gen_per_text=1,
+        sampler="plms",
+    )
+    assert wav.shape == (1, 1, 1024)
+    assert np.isfinite(wav).all()

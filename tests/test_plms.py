@@ -81,3 +81,33 @@ def test_plms_trajectory_parity(rng):
         x_T=x_T,
     )
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_plms_mask_inpainting_keeps_region():
+    """The reference PLMS implements the same q_sample mask blend as DDIM
+    (plms.py:103,222-227); the blend noise is drawn inside the loop, so the
+    check is behavioral (RNG streams differ): masked rows stay pinned to x0,
+    free rows evolve from noise."""
+    import jax
+
+    x0 = np.full(SHAPE, 0.7, np.float32)
+    mask = np.zeros((SHAPE[0], SHAPE[1], SHAPE[2], 1), np.float32)
+    mask[:, :4] = 1.0
+
+    def eps_fn(x, t):
+        return 0.0 * x
+
+    out = np.asarray(
+        plms_sample(
+            eps_fn,
+            jax.random.PRNGKey(1),
+            SHAPE,
+            SCHED,
+            num_steps=10,
+            mask=jax.numpy.asarray(mask),
+            x0=jax.numpy.asarray(x0),
+        )
+    )
+    kept, free = out[:, :4], out[:, 4:]
+    assert np.abs(kept - x0[:, :4]).mean() < 0.15
+    assert np.abs(free - x0[:, 4:]).mean() > 0.3
