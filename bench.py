@@ -1,17 +1,25 @@
 """Benchmark: seconds-of-audio generated per wall-clock second per chip.
 
-Headline (the ONE JSON line's value): the complete text->waveform pipeline
-(conditioning -> 200-step DDIM with CFG -> VAE decode -> HiFi-GAN) on the
-audioldm_16k_crossattn_t5 slice, batch=4, 10 s clips — matching BASELINE.json
-(vs_baseline = value / 10.0; the north-star is >=10x realtime per chip).
+Headline (the ONE stdout JSON line's value): the complete text->waveform
+pipeline (conditioning -> 200-step DDIM with CFG -> VAE decode -> HiFi-GAN)
+on the audioldm_16k_crossattn_t5 slice, batch=4, 10 s clips — matching
+BASELINE.json (vs_baseline = value / 10.0; north star >=10x realtime/chip).
 
-The detail block additionally measures EVERY BASELINE.md benchmark config
-end-to-end on the real chip:
-  - audioldm2-full            (batch=1, 200 steps: GPT-2 gen + T5 + AudioMAE)
-  - audioldm2-speech-gigaspeech (TTS --transcription path, 512-token GPT-2 gen)
-  - audioldm_48k              (FiLM/CLAP family, 256-mel HiFi-GAN)
-  - audioldm2-full-large-1150k (n_candidates=3 + CLAP rerank; + sr_inpainting)
-plus MFU for the headline program from XLA's own cost analysis.
+Output discipline (the round-2 driver capture TIMED OUT because the line was
+printed only after warming all five family configs):
+  * stdout carries EXACTLY ONE JSON line, printed the moment the headline is
+    measured — an early kill can no longer erase the result;
+  * every family detail (all BASELINE.md configs: audioldm2-full,
+    speech-gigaspeech TTS, audioldm_48k, full-large-1150k n_candidates=3 +
+    rerank, sr_inpainting) streams to stderr as it lands and is written
+    incrementally to BENCH_FAMILIES.json next to this file;
+  * the family phase is wall-clock budgeted (AUDIOLDM2_BENCH_BUDGET_S,
+    default 2400 s measured from process start): a family that does not fit
+    the remaining budget is recorded as skipped, and the process exits 0.
+
+Param init uses the fast structural path (AUDIOLDM2_FAST_INIT) — random
+values are irrelevant to timing and full threefry init of the large families
+cost ~1000 s of single-core host time in round 2.
 
 Set AUDIOLDM2_BENCH_FAST=1 to measure only the headline config.
 """
@@ -21,9 +29,23 @@ import os
 import sys
 import time
 
-import jax
+T_START = time.time()
+BUDGET_S = float(os.environ.get("AUDIOLDM2_BENCH_BUDGET_S", "2400"))
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+os.environ.setdefault("AUDIOLDM2_FAST_INIT", "1")
+
+import jax  # noqa: E402
 
 PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v4": 275e12}
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - T_START:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _peak():
@@ -34,60 +56,21 @@ def _peak():
     return 197e12
 
 
-def _mfu(model, batch, key, run_kwargs, wall_s):
-    """MFU over the sampling loop: XLA cost analysis of ONE CFG UNet step
-    (program-level analysis does not multiply the scan body by its trip
-    count) x ddim_steps, over measured wall time."""
-    import jax.numpy as jnp
-
-    from audioldm2_tpu.diffusion import ddim
-    from audioldm2_tpu.diffusion.latent_diffusion import encode_conditioning
-    from audioldm2_tpu.models import unet
-
+def _mfu(model, batch, run_kwargs, wall_s):
+    """MFU over the sampling loop: analytic FLOPs of ONE CFG UNet step
+    (ops/flops.py — Compiled.cost_analysis counts 0 FLOPs for Pallas custom
+    calls; tests/test_flops.py pins the accounting) x ddim_steps over wall."""
     try:
-        cfg = model.cfg
-        params = model.ldm.params
-        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        cast = lambda t: jax.tree.map(
-            lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a, t
-        )
-        (y, ctxs, masks), bsz, _ = jax.jit(
-            lambda p, b: encode_conditioning(
-                p, cfg, b, run_kwargs["n_gen"], run_kwargs["guidance"]
-            )
-        )(params, batch)
-        unet_p = cast(params["unet"])
-        ctxs_c = [c.astype(cdtype) for c in ctxs]
-        y_c = y.astype(cdtype) if y is not None else None
-        kv = jax.jit(lambda p, c: unet.precompute_cross_kv(p, cfg.unet, c))(
-            unet_p, ctxs_c
-        )
-        unet_p = jax.jit(unet.fuse_self_qkv)(unet_p)
-        shape = (
-            bsz, run_kwargs["latent_t_size"], cfg.latent_f_size,
-            cfg.latent_channels,
-        )
+        from audioldm2_tpu.ops.flops import unet_step_flops
 
-        @jax.jit
-        def one_step(unet_p, kv, x, t):
-            def mfn(xx, tt):
-                eps = unet.apply_unet(
-                    unet_p, cfg.unet, xx.astype(cdtype), tt,
-                    context_list=ctxs_c, context_mask_list=masks, y=y_c,
-                    cross_kv=kv,
-                )
-                return eps.astype(jnp.float32)
-
-            return ddim.cfg_eps_fn(mfn, run_kwargs["guidance"])(x, t)
-
-        x = jnp.zeros(shape, jnp.float32)
-        t = jnp.zeros((shape[0],), jnp.float32)
-        ca = one_step.lower(unet_p, kv, x, t).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) * run_kwargs["ddim_steps"]
+        flops = unet_step_flops(
+            model.cfg,
+            batch_size=run_kwargs["cfg_batch"],
+            latent_t=run_kwargs["latent_t_size"],
+        ) * run_kwargs["ddim_steps"]
         return flops / wall_s / _peak() if flops else None
-    except Exception:
+    except Exception as e:
+        _log(f"mfu unavailable: {type(e).__name__}: {e}")
         return None
 
 
@@ -175,6 +158,7 @@ def main():
     # ------------------------------------------------------------------
     # headline: t5 slice, 10 s clips, 200 DDIM steps
     # ------------------------------------------------------------------
+    _log("building headline model (audioldm_16k_crossattn_t5)")
     cfg = default_audioldm_config("audioldm_16k_crossattn_t5")
     params = pipeline.init_params(jax.random.PRNGKey(0), cfg)
     model = pipeline.AudioLDM2(cfg, params)
@@ -190,64 +174,40 @@ def main():
         )
         return time.time() - t0
 
+    _log("warming batch=1 program")
     t0 = time.time()
     run(1, seed=1)
     warmup_lat = time.time() - t0
-    p50_latency, _ = _timed_runs(lambda s: run(1, s))
+    p50_latency, lat_runs = _timed_runs(lambda s: run(1, s))
+    _log(f"batch=1 p50 {p50_latency:.3f}s ({duration / p50_latency:.2f}x realtime)")
 
+    _log("warming batch=4 program")
     t0 = time.time()
     run(4, seed=1)
     warmup_thr = time.time() - t0
     p50_b4, thr_runs = _timed_runs(lambda s: run(4, s))
     throughput = 4 * duration / p50_b4
+    _log(f"batch=4 p50 {p50_b4:.3f}s ({throughput:.2f} s-audio/s)")
 
-    # MFU of the batch=4 compiled program
-    batch_arrays = model.make_batch("a dog barking in the rain", batchsize=4)
     mfu = _mfu(
-        model, batch_arrays, jax.random.PRNGKey(0),
-        dict(latent_t_size=256, n_gen=1, guidance=3.5, ddim_steps=200,
-             ddim_eta=1.0, use_mask=False, sampler="ddim"),
+        model, None,
+        dict(latent_t_size=256, cfg_batch=8, ddim_steps=200),
         p50_b4,
     )
 
     detail = {
         "p50_latency_s_per_10s_clip_batch1": round(p50_latency, 3),
         "latency_x_realtime": round(duration / p50_latency, 3),
+        "batch1_wall_s": [round(t, 3) for t in lat_runs],
         "batch4_wall_s": [round(t, 3) for t in thr_runs],
         "warmup_s": [round(warmup_lat, 1), round(warmup_thr, 1)],
         "mfu_batch4_program": round(mfu, 4) if mfu else None,
         "device": str(jax.devices()[0]),
+        "families": "see BENCH_FAMILIES.json (budgeted; streamed to stderr)",
     }
-    del model, params
 
-    # ------------------------------------------------------------------
-    # the other four BASELINE.md configs
-    # ------------------------------------------------------------------
-    if not fast:
-        families = {
-            "audioldm2-full": dict(batchsize=1, n_candidates=1, duration=10.0),
-            "audioldm2-speech-gigaspeech": dict(
-                batchsize=1, duration=10.0, text="",
-                transcription="the quick brown fox jumps over the lazy dog",
-            ),
-            "audioldm_48k": dict(batchsize=1, duration=10.0),
-            "audioldm2-full-large-1150k": dict(
-                batchsize=1, n_candidates=3, duration=10.0,
-            ),
-            "audioldm2-full-large-1150k/sr_inpainting": dict(
-                batchsize=1, n_candidates=1, duration=10.0,
-                mode="sr_inpainting",
-            ),
-        }
-        fam_detail = {}
-        for fam, scenario in families.items():
-            name = fam.split("/")[0]
-            try:
-                fam_detail[fam] = bench_family(name, scenario)
-            except Exception as e:  # record, never sink the headline
-                fam_detail[fam] = {"error": f"{type(e).__name__}: {e}"}
-        detail["families"] = fam_detail
-
+    # THE one stdout JSON line — printed before the (long) family phase so a
+    # driver-side timeout can never erase the headline again.
     print(
         json.dumps(
             {
@@ -257,8 +217,53 @@ def main():
                 "vs_baseline": round(throughput / 10.0, 3),
                 "detail": detail,
             }
-        )
+        ),
+        flush=True,
     )
+    del model, params
+    if fast:
+        return 0
+
+    # ------------------------------------------------------------------
+    # the other BASELINE.md configs — budgeted, streamed, most important
+    # (the large-1150k n=3 scenario, the literal BASELINE config) first
+    # ------------------------------------------------------------------
+    families = [
+        ("audioldm2-full-large-1150k",
+         dict(batchsize=1, n_candidates=3, duration=10.0)),
+        ("audioldm2-full", dict(batchsize=1, n_candidates=1, duration=10.0)),
+        ("audioldm_48k", dict(batchsize=1, duration=10.0)),
+        ("audioldm2-speech-gigaspeech", dict(
+            batchsize=1, duration=10.0, text="",
+            transcription="the quick brown fox jumps over the lazy dog",
+        )),
+        ("audioldm2-full-large-1150k/sr_inpainting", dict(
+            batchsize=1, n_candidates=1, duration=10.0, mode="sr_inpainting",
+        )),
+    ]
+    out_path = os.path.join(HERE, "BENCH_FAMILIES.json")
+    fam_detail = {}
+    est_cost = 480.0  # first-family guess; replaced by measured actuals
+    for fam, scenario in families:
+        if _remaining() < est_cost:
+            fam_detail[fam] = {
+                "skipped": f"budget: {_remaining():.0f}s left < {est_cost:.0f}s estimate"
+            }
+            _log(f"{fam}: SKIPPED ({fam_detail[fam]['skipped']})")
+            continue
+        name = fam.split("/")[0]
+        t_fam = time.time()
+        try:
+            fam_detail[fam] = bench_family(name, scenario)
+            est_cost = 1.2 * (time.time() - t_fam)
+            _log(f"{fam}: {json.dumps(fam_detail[fam])}")
+        except Exception as e:  # record, never sink the run
+            fam_detail[fam] = {"error": f"{type(e).__name__}: {e}"}
+            _log(f"{fam}: ERROR {fam_detail[fam]['error']}")
+        with open(out_path, "w") as f:
+            json.dump(fam_detail, f, indent=1)
+    _log(f"family details -> {out_path}")
+    return 0
 
 
 if __name__ == "__main__":

@@ -2,7 +2,10 @@
 
 Times each stage of the prompt->waveform program separately (conditioning,
 one CFG UNet step, the full DDIM scan, VAE decode, vocoder) and reports
-hardware utilization (MFU from XLA's own cost analysis).
+hardware utilization (MFU from the analytic accounting in ops/flops.py —
+the same module bench.py uses; XLA's cost_analysis counts 0 FLOPs for the
+Pallas custom calls in the TPU programs, which is how round 2's two MFU
+instruments diverged 18x).
 
 This is the observability tool VERDICT round-1 asked for: diagnosing where
 the wall-clock goes no longer needs ad-hoc profiler runs.
@@ -128,7 +131,11 @@ def main():
     x = jnp.zeros(shape, jnp.float32)
     t = jnp.zeros((args.batch,), jnp.float32)
     t_step, _ = timed(one_step, unet_p, kv, x, t, n=10, warmup=3)
-    step_flops = cost_flops(one_step, unet_p, kv, x, t)
+    from audioldm2_tpu.ops import flops as flops_m
+
+    step_flops = flops_m.unet_step_flops(
+        cfg, batch_size=2 * args.batch, latent_t=latent_t
+    )
 
     @jax.jit
     def scan_fn(unet_p, kv, key):
@@ -146,14 +153,16 @@ def main():
         return vae.decode(vae_p, cfg.vae, z.astype(cdtype))
 
     t_dec, mel = timed(dec_fn, vae_p, z)
-    dec_flops = cost_flops(dec_fn, vae_p, z)
+    dec_flops = flops_m.vae_decode_flops(
+        cfg.vae, args.batch, latent_t, cfg.latent_f_size
+    )
 
     @jax.jit
     def voc_fn(voc_p, mel):
         return vocoder.apply_vocoder(voc_p, cfg.vocoder, mel[..., 0])
 
     t_voc, wav = timed(voc_fn, voc_p, mel)
-    voc_flops = cost_flops(voc_fn, voc_p, mel)
+    voc_flops = flops_m.vocoder_flops(cfg.vocoder, args.batch, int(mel.shape[1]))
 
     peak = peak_flops()
     total = t_cond + t_scan + t_dec + t_voc
