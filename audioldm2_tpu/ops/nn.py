@@ -37,7 +37,37 @@ def _np_rng(key) -> np.random.Generator:
     return np.random.default_rng(np.asarray(data, dtype=np.uint32))
 
 
+# Fast-init pool: this host draws numpy PCG64 normals at only ~8M/s on its
+# single core, so properly-random init of audioldm2-full's 1.2B params costs
+# ~900 s (the round-2 driver-timeout culprit). In fast mode (bench/smoke
+# paths; AUDIOLDM2_FAST_INIT=1 or pipeline.init_params(fast=True)) leaves are
+# filled by tiling one 2M-normal pool at rotating offsets — memcpy speed.
+# Values are only consumed where real weights are absent (timing is
+# data-independent on TPU; parity tests always convert reference weights).
+FAST_INIT = False
+_FAST_POOL = None
+_FAST_OFFSET = 0
+
+
+def _fast_fill(shape, scale: float) -> np.ndarray:
+    global _FAST_POOL, _FAST_OFFSET
+    if _FAST_POOL is None:
+        _FAST_POOL = np.random.default_rng(0).standard_normal(
+            1 << 21, dtype=np.float32
+        )
+    pool = _FAST_POOL
+    n = int(np.prod(shape)) if shape else 1
+    off = _FAST_OFFSET % pool.size
+    _FAST_OFFSET = (_FAST_OFFSET + n + 9973) % (1 << 62)
+    reps = -(-(off + n) // pool.size)
+    flat = np.tile(pool, reps)[off : off + n] if reps > 1 else pool[off : off + n]
+    out = (flat * np.float32(scale)).reshape(shape)
+    return out
+
+
 def randn(key, shape, std: float = 1.0) -> np.ndarray:
+    if FAST_INIT:
+        return _fast_fill(shape, std)
     # dtype=float32 draws single-precision directly — the f64 draw + astype
     # path is ~7x slower and dominated whole-model init (921 s for
     # audioldm2-full's 1.2B params on this host).
@@ -49,6 +79,9 @@ def randn(key, shape, std: float = 1.0) -> np.ndarray:
 
 def _kaiming_uniform(key, shape, fan_in):
     bound = np.float32(math.sqrt(1.0 / fan_in) * math.sqrt(3.0))
+    if FAST_INIT:
+        # distribution shape is irrelevant in fast mode; match the stddev
+        return _fast_fill(shape, bound / math.sqrt(3.0))
     r = _np_rng(key).random(shape, dtype=np.float32)  # [0, 1)
     r *= 2 * bound
     r -= bound

@@ -146,37 +146,72 @@ def seed_everything(seed: int):
     return jax.random.PRNGKey(int(seed))
 
 
-def init_params(key, cfg: ModelConfig) -> Dict:
+def _init_tree(key, cfg: ModelConfig) -> Dict:
+    """The parameter-tree construction shared by :func:`init_params` (real
+    jax.random values) and the eval_shape-based fast path."""
+    import jax.numpy as jnp
+
+    k_unet, k_vae, k_voc, k_cond, k_rr = jax.random.split(key, 5)
+    cond_params = {}
+    cond_keys = jax.random.split(k_cond, max(len(cfg.conditioners), 1))
+    for spec, ck in zip(cfg.conditioners, cond_keys):
+        cond_params[spec.name] = conditioners.init_conditioner(ck, spec)
+    params = {
+        "unet": unet_m.init_unet(k_unet, cfg.unet),
+        "vae": vae_m.init_vae(k_vae, cfg.vae),
+        "vocoder": voc_m.init_vocoder(k_voc, cfg.vocoder),
+        "cond": cond_params,
+        "scale_factor": jnp.asarray(1.0, jnp.float32),
+    }
+    if cfg.reranker_clap is not None:
+        # DDPM-level CLAP used for candidate reranking (reference
+        # ddpm.py:114-120 builds it unconditionally).
+        from audioldm2_tpu.models import clap as clap_model
+
+        params["reranker_clap"] = clap_model.init_clap(k_rr, cfg.reranker_clap)
+    return params
+
+
+def _init_params_fast(key, cfg: ModelConfig) -> Dict:
+    """Pool-filled init: same tree construction, but every random leaf is a
+    rotated slice of one shared normal pool (ops/nn.py FAST_INIT) — memcpy
+    speed instead of ~900 s of single-core numpy RNG for the 1.2B-param
+    families (the round-2 driver-timeout culprit).
+
+    Random-init values only matter where *distributions* are semantically
+    load-bearing (parity tests convert real reference weights instead), so
+    benchmarking / smoke paths use this. Zero-init leaves (e.g. the
+    spatial-transformer proj_out) keep their zeros — the tree is structurally
+    identical to the slow path's."""
+    from audioldm2_tpu.ops import nn as _nn
+
+    prev = _nn.FAST_INIT
+    _nn.FAST_INIT = True
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            return _init_tree(key, cfg)
+    finally:
+        _nn.FAST_INIT = prev
+
+
+def init_params(key, cfg: ModelConfig, fast: Optional[bool] = None) -> Dict:
     """Randomly initialized parameter tree (used when no checkpoint is
     available — e.g. zero-egress benchmarking — and as the target structure
     for the converter).
 
-    Init runs pinned to the host CPU backend: it is hundreds of tiny op
-    dispatches, which are pathologically slow op-by-op on a remote TPU
-    runtime; the first jitted forward pass moves everything to device in one
-    transfer."""
-    import jax.numpy as jnp
+    ``fast`` (default from AUDIOLDM2_FAST_INIT=1): eval_shape structure +
+    numpy noise — seconds instead of ~20 min for the large families.
 
+    The slow path runs pinned to the host CPU backend: it is hundreds of
+    tiny op dispatches, which are pathologically slow op-by-op on a remote
+    TPU runtime; the first jitted forward pass moves everything to device in
+    one transfer."""
+    if fast is None:
+        fast = os.environ.get("AUDIOLDM2_FAST_INIT", "") == "1"
+    if fast:
+        return _init_params_fast(key, cfg)
     with jax.default_device(jax.devices("cpu")[0]):
-        k_unet, k_vae, k_voc, k_cond, k_rr = jax.random.split(key, 5)
-        cond_params = {}
-        cond_keys = jax.random.split(k_cond, max(len(cfg.conditioners), 1))
-        for spec, ck in zip(cfg.conditioners, cond_keys):
-            cond_params[spec.name] = conditioners.init_conditioner(ck, spec)
-        params = {
-            "unet": unet_m.init_unet(k_unet, cfg.unet),
-            "vae": vae_m.init_vae(k_vae, cfg.vae),
-            "vocoder": voc_m.init_vocoder(k_voc, cfg.vocoder),
-            "cond": cond_params,
-            "scale_factor": jnp.asarray(1.0, jnp.float32),
-        }
-        if cfg.reranker_clap is not None:
-            # DDPM-level CLAP used for candidate reranking (reference
-            # ddpm.py:114-120 builds it unconditionally).
-            from audioldm2_tpu.models import clap as clap_model
-
-            params["reranker_clap"] = clap_model.init_clap(k_rr, cfg.reranker_clap)
-        return params
+        return _init_tree(key, cfg)
 
 
 def load_checkpoint_params(ckpt_path: str, cfg: ModelConfig) -> Dict:

@@ -58,3 +58,41 @@ def test_ema_matches_reference_ramp():
         d = min(0.99, (1 + n) / (10 + n))
         shadow = shadow - (1 - d) * (shadow - n)
         np.testing.assert_allclose(np.asarray(state.params["w"]), shadow, rtol=1e-5)
+
+
+def test_fast_init_tree_structurally_identical():
+    """init_params(fast=True) (the bench/smoke path) must produce exactly
+    the slow path's tree: same keys, shapes, dtypes, and identical values
+    for non-random leaves (zero-init proj_out etc.)."""
+    import jax
+    import numpy as np
+
+    from audioldm2_tpu import pipeline
+    from tiny import tiny_t5_model_config
+
+    cfg = tiny_t5_model_config()
+    slow = pipeline.init_params(jax.random.PRNGKey(0), cfg, fast=False)
+    fast = pipeline.init_params(jax.random.PRNGKey(0), cfg, fast=True)
+    ls, treedef_s = jax.tree.flatten(slow)
+    lf, treedef_f = jax.tree.flatten(fast)
+    assert treedef_s == treedef_f
+    for a, b in zip(ls, lf):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape and a.dtype == b.dtype
+        if not a.any():  # zero-init leaves must stay zero in fast mode
+            assert not b.any()
+
+
+def test_convert_cli_infers_family():
+    import pytest
+
+    from audioldm2_tpu.convert import _infer_model_name
+
+    assert (
+        _infer_model_name("/x/audioldm2-full-large-1150k.pth")
+        == "audioldm2-full-large-1150k"
+    )
+    assert _infer_model_name("audioldm2-full.pth") == "audioldm2-full"
+    assert _infer_model_name("ckpt/audioldm_48k.pth") == "audioldm_48k"
+    with pytest.raises(SystemExit):
+        _infer_model_name("mystery_weights.pth")
