@@ -523,3 +523,63 @@ def convert_clap(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
     except ImportError:
         pass
     return params
+
+
+# ---------------------------------------------------------------------------
+# One-command conversion entry:
+#   python -m audioldm2_tpu.convert <ckpt.pth> <out.npz|out_dir> [--model_name N]
+# The first networked environment can prove the full converter in one command
+# (the reference loads the same monolithic .pth strictly at pipeline.py:172-174).
+# ---------------------------------------------------------------------------
+
+
+def _infer_model_name(pth_path: str) -> str:
+    """Match a shipped checkpoint family from the filename (longest match
+    wins so 'audioldm2-full-large-1150k' beats 'audioldm2-full')."""
+    import os as _os
+
+    from audioldm2_tpu.config import CHECKPOINT_NAMES
+
+    base = _os.path.basename(pth_path)
+    hits = [n for n in CHECKPOINT_NAMES if n in base]
+    if not hits:
+        raise SystemExit(
+            f"cannot infer the checkpoint family from {base!r}; pass "
+            f"--model_name (one of {', '.join(CHECKPOINT_NAMES)})"
+        )
+    return max(hits, key=len)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    from audioldm2_tpu.utils import checkpoint as ckpt_io
+
+    p = argparse.ArgumentParser(
+        prog="python -m audioldm2_tpu.convert",
+        description="Convert a reference AudioLDM2 .pth checkpoint into this "
+        "framework's native format (.npz, or an orbax directory).",
+    )
+    p.add_argument("pth_path", help="reference monolithic .pth checkpoint")
+    p.add_argument("out_path", help="output (.npz file or orbax directory)")
+    p.add_argument(
+        "--model_name", default=None,
+        help="checkpoint family (default: inferred from the filename)",
+    )
+    args = p.parse_args(argv)
+    name = args.model_name or _infer_model_name(args.pth_path)
+    print(f"converting {args.pth_path} as family {name!r} -> {args.out_path}")
+    ckpt_io.convert_reference_checkpoint(args.pth_path, name, args.out_path)
+    import numpy as _np
+
+    tree = ckpt_io.load(args.out_path)
+    import jax as _jax
+
+    leaves = _jax.tree.leaves(tree)
+    n = sum(int(_np.size(a)) for a in leaves)
+    print(f"ok: wrote {len(leaves)} arrays, {n/1e6:.1f}M parameters")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
