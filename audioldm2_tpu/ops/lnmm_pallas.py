@@ -50,10 +50,11 @@ def _block_m(m: int, per_row_bytes: int) -> int:
 
 def _erf_f32(x):
     """Pallas-TPU-lowerable erf (the `erf`/`erfc` primitives have no Mosaic
-    lowering): Abramowitz & Stegun 7.1.26 rational approximation, max abs
-    error 1.5e-7 in f32 — ~3 decimal orders below bf16 ulp, so the fused
-    gelu is indistinguishable from jax.nn.gelu(approximate=False) in this
-    bf16 pipeline."""
+    lowering): Abramowitz & Stegun 7.1.26 rational approximation. Max abs
+    erf error ~3e-6 measured in f32 (1.5e-7 is the exact-arithmetic bound);
+    the fused gelu's bf16 output differs from jax.nn.gelu(approximate=False)
+    by at most 1 bf16 ulp on a small fraction of inputs — immaterial for
+    this bf16 pipeline."""
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
     s = jnp.sign(x)

@@ -300,7 +300,6 @@ def check_family(model_name: str):
         "consumed": len(sd.read),
         "skipped": len(skipped),
         "unconsumed": unconsumed,
-        "skipped_keys": skipped,
         "tree_leaves": len(init_leaves),
         "missing_in_conv": missing_in_conv,
         "extra_in_conv": extra_in_conv,
