@@ -526,6 +526,37 @@ def convert_clap(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
 
 
 # ---------------------------------------------------------------------------
+def expand_ema_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Invert the reference LitEma shadow-buffer naming back to ``model.*``.
+
+    The reference registers each EMA shadow under the source parameter name
+    with the dots removed (``modules/ema.py:15-18``:
+    ``s_name = name.replace('.', '')``), so ``model_ema.*`` keys cannot be
+    parsed on their own — but the same state_dict carries the live
+    ``model.*`` params, so the mapping is recovered by dot-stripping those.
+    Returns ``{"model.<name>": shadow_value}`` for every shadow that matches
+    a live param; the ``decay``/``num_updates`` counters are dropped.
+    """
+    rev = {}
+    for k in sd:
+        if k.startswith("model."):
+            name = k[len("model."):]
+            rev[name.replace(".", "")] = k
+    out = {}
+    for k in list(sd):
+        if not k.startswith("model_ema."):
+            continue
+        flat = k[len("model_ema."):]
+        if flat in ("decay", "num_updates"):
+            sd[k]  # touch for coverage-tracking dicts
+            continue
+        src = rev.get(flat)
+        if src is not None:
+            out[src] = sd[k]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # One-command conversion entry:
 #   python -m audioldm2_tpu.convert <ckpt.pth> <out.npz|out_dir> [--model_name N]
 # The first networked environment can prove the full converter in one command

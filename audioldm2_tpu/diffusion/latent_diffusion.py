@@ -236,14 +236,30 @@ class LatentDiffusionModel:
         use_mask: bool = False,
         sampler: str = "ddim",
         x_T=None,
+        use_ema: bool = False,
     ):
         """Returns (waveform [B*n_gen, N] np.float32, mel).
 
         ``x_T``: optional fixed initial latent [B*n_gen, T, F, C] (the
         reference sample_log's x_T, ddpm.py:1418-1436) — parity tests and
-        reproducible generation inject it instead of drawing from ``key``."""
+        reproducible generation inject it instead of drawing from ``key``.
+
+        ``use_ema``: denoise with the EMA shadow UNet weights — the
+        reference's ``ema_scope`` (ddpm.py:305-318), used by its eval-set
+        ``generate_sample`` path (ddpm.py:1720). Requires ``unet_ema`` in
+        the param tree (converted from the checkpoint's ``model_ema.*``
+        shadow buffers). Both paths pass a structurally identical tree to
+        the jitted program, so toggling the flag never recompiles."""
+        params = {k: v for k, v in self.params.items() if k != "unet_ema"}
+        if use_ema:
+            if "unet_ema" not in self.params:
+                raise ValueError(
+                    "use_ema=True but the param tree has no 'unet_ema' "
+                    "(checkpoint carried no model_ema.* shadow weights)"
+                )
+            params["unet"] = self.params["unet_ema"]
         wav, mel = self._generate_jit(
-            self.params,
+            params,
             batch,
             key,
             latent_t_size=latent_t_size,

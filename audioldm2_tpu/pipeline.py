@@ -261,6 +261,22 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: ModelConfig) -> Dict:
         # The DDPM-level reranker CLAP ships in the monolithic checkpoint
         # under the "clap." prefix (reference ddpm.py:114-120).
         params["reranker_clap"] = convert.convert_clap(sd, "clap.model.")
+    if any(k.startswith("model_ema.") for k in sd):
+        # EMA shadow weights (reference LitEma, ddpm.py:131-134): converted
+        # into a second UNet tree so generation can run under the reference's
+        # ema_scope semantics (ddpm.py:305-318) via generate(use_ema=True).
+        try:
+            ema_sd = convert.expand_ema_keys(sd)
+            params["unet_ema"] = convert.convert_unet(
+                ema_sd, cfg.unet, prefix="model.diffusion_model."
+            )
+        except KeyError as e:
+            import warnings
+
+            warnings.warn(
+                f"model_ema.* keys present but incomplete ({e}); EMA "
+                "inference disabled for this checkpoint.", stacklevel=2,
+            )
     return params
 
 
@@ -409,6 +425,7 @@ def text_to_audio(
     config=None,
     sampler: str = "ddim",
     duration_bucket: Optional[float] = 2.5,
+    use_ema: bool = False,
 ) -> np.ndarray:
     """Reference-compatible generation API (reference pipeline.py:181-211).
 
@@ -438,6 +455,7 @@ def text_to_audio(
         guidance=guidance_scale,
         ddim_steps=ddim_steps,
         sampler=sampler,
+        use_ema=use_ema,
     )
     wav = jax.block_until_ready(wav) if hasattr(wav, "block_until_ready") else wav
     t2 = time.perf_counter()

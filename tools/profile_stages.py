@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--guidance", type=float, default=3.5)
+    ap.add_argument("--n-gen", type=int, default=1,
+                    help="n_candidate_gen_per_text (tiles the sample batch; "
+                    "adds a CLAP rerank stage when >1)")
     args = ap.parse_args()
 
     from audioldm2_tpu import pipeline
@@ -93,11 +96,12 @@ def main():
     @jax.jit
     def cond_fn(params, batch):
         (y, ctxs, masks), bsz, cfg_on = encode_conditioning(
-            params, cfg, batch, 1, args.guidance
+            params, cfg, batch, args.n_gen, args.guidance
         )
         return y, ctxs, masks
 
     t_cond, (y, ctxs, masks) = timed(cond_fn, params, batch)
+    sample_b = args.batch * args.n_gen
 
     # --- stage: one CFG UNet step + full scan -----------------------------
     def cast_tree(tree):
@@ -108,7 +112,7 @@ def main():
     unet_p = cast_tree(params["unet"])
     ctxs_c = [c.astype(cdtype) for c in ctxs]
     y_c = y.astype(cdtype) if y is not None else None
-    shape = (args.batch, latent_t, cfg.latent_f_size, cfg.latent_channels)
+    shape = (sample_b, latent_t, cfg.latent_f_size, cfg.latent_channels)
 
     def model_fn(unet_p, kv, x, t):
         eps = unet.apply_unet(
@@ -129,12 +133,12 @@ def main():
         return ddim.cfg_eps_fn(lambda a, b: model_fn(unet_p, kv, a, b), args.guidance)(x, t)
 
     x = jnp.zeros(shape, jnp.float32)
-    t = jnp.zeros((args.batch,), jnp.float32)
+    t = jnp.zeros((sample_b,), jnp.float32)
     t_step, _ = timed(one_step, unet_p, kv, x, t, n=10, warmup=3)
     from audioldm2_tpu.ops import flops as flops_m
 
     step_flops = flops_m.unet_step_flops(
-        cfg, batch_size=2 * args.batch, latent_t=latent_t
+        cfg, batch_size=2 * sample_b, latent_t=latent_t
     )
 
     @jax.jit
@@ -154,7 +158,7 @@ def main():
 
     t_dec, mel = timed(dec_fn, vae_p, z)
     dec_flops = flops_m.vae_decode_flops(
-        cfg.vae, args.batch, latent_t, cfg.latent_f_size
+        cfg.vae, sample_b, latent_t, cfg.latent_f_size
     )
 
     @jax.jit
@@ -162,10 +166,26 @@ def main():
         return vocoder.apply_vocoder(voc_p, cfg.vocoder, mel[..., 0])
 
     t_voc, wav = timed(voc_fn, voc_p, mel)
-    voc_flops = flops_m.vocoder_flops(cfg.vocoder, args.batch, int(mel.shape[1]))
+    voc_flops = flops_m.vocoder_flops(cfg.vocoder, sample_b, int(mel.shape[1]))
+
+    # --- stage: CLAP rerank (n_gen > 1 only) -------------------------------
+    t_rerank = 0.0
+    if args.n_gen > 1 and params.get("reranker_clap") is not None:
+        wav_np = np.asarray(wav.astype(jnp.float32))
+
+        def rerank_fn(wav_np):
+            from audioldm2_tpu.models import clap as clap_model
+
+            return clap_model.cos_similarity_waveform_text(
+                params["reranker_clap"], cfg.reranker_clap, wav_np,
+                "a dog barking in the rain", model.reranker_tok,
+                cfg.preprocessing.sampling_rate,
+            )
+
+        t_rerank, _ = timed(rerank_fn, wav_np, n=3, warmup=1)
 
     peak = peak_flops()
-    total = t_cond + t_scan + t_dec + t_voc
+    total = t_cond + t_scan + t_dec + t_voc + t_rerank
     print(f"\ndevice: {jax.devices()[0]} ({jax.devices()[0].device_kind})")
     print(f"model: {args.model_name}  batch={args.batch} dur={args.duration}s "
           f"steps={args.steps} latent_T={latent_t}")
@@ -182,6 +202,8 @@ def main():
     row("  (one CFG step)", t_step, step_flops)
     row("vae decode", t_dec, dec_flops)
     row("vocoder", t_voc, voc_flops)
+    if t_rerank:
+        row("clap rerank", t_rerank)
     print(f"{'TOTAL':<22}{total * 1e3:>10.1f}")
     sa_per_s = args.batch * args.duration / total
     print(f"\nthroughput: {sa_per_s:.2f} s-audio/s/chip "
