@@ -139,9 +139,11 @@ def _generate_impl(
     # one-time transform outside the scan).
     unet_p = unet.fuse_self_qkv(unet_p)
     if cfg.weight_quant == "int8":
-        # Opt-in serving quantization: ST matmul weights stream as int8
-        # (half the bytes) and dequantize only inside the Pallas kernels.
+        # Opt-in serving quantization: ST matmul weights AND ResBlock 3x3
+        # conv weights (the dominant per-step stream) go int8 in HBM and
+        # dequantize only inside the Pallas kernels.
         unet_p = unet.quantize_st_linears(unet_p)
+        unet_p = unet.quantize_resblock_convs(unet_p)
 
     def model_fn(x, t):
         eps = unet.apply_unet(

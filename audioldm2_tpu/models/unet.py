@@ -300,6 +300,41 @@ def quantize_st_linears(params):
     return quant.quantize_tree(params, pred)
 
 
+def quantize_resblock_convs(params):
+    """int8-quantize the ResBlock 3x3 conv weights ("in_conv"/"out_conv") —
+    the dominant per-step HBM weight stream at small CFG batch (the ST
+    matmuls covered by quantize_st_linears are a minor share; see
+    docs/PERF.md round-2 int8 A/B). Only convs the Pallas kernel can run
+    quantized (Cin/Cout multiples of 128) convert; the rest stay bf16.
+    Opt-in serving mode — quantization error is real, parity paths never
+    use it."""
+    from audioldm2_tpu.ops import quant
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (
+                    k in ("in_conv", "out_conv")
+                    and isinstance(v, dict)
+                    and "w" in v
+                    and getattr(v["w"], "ndim", 0) == 4
+                    and v["w"].shape[0] == 3
+                    and v["w"].shape[2] % 128 == 0
+                    and v["w"].shape[3] % 128 == 0
+                ):
+                    out[k] = quant.quantize_conv3x3_dict(v)
+                else:
+                    out[k] = walk(v, path + (k,))
+            return out
+        if isinstance(node, (list, tuple)):
+            t = [walk(v, path + (i,)) for i, v in enumerate(node)]
+            return type(node)(t) if isinstance(node, tuple) else t
+        return node
+
+    return walk(params, ())
+
+
 def precompute_cross_kv(params, cfg: UNetConfig, context_list):
     """Cross-attention K/V projections depend only on the (loop-invariant)
     contexts; computing them once outside the DDIM scan removes ~30 hoisted

@@ -257,6 +257,22 @@ def gn_silu_conv(p_norm, p_conv, x, groups: int = 32, eps: float = 1e-5):
     """GroupNorm -> SiLU -> 3x3 SAME conv — the ResBlock body. Dispatches to
     the fused Pallas kernel on TPU when the geometry fits VMEM; gradients
     flow through the jnp composition (custom VJP)."""
+    if "wq" in p_conv:
+        # int8 weight streaming (opt-in serving mode, unet.quantize_
+        # resblock_convs): the conv weight is the dominant per-step HBM
+        # stream at small CFG batch; int8 halves it and the dequant stays
+        # in VMEM inside the kernel. Off-TPU fallback dequantizes exactly.
+        from audioldm2_tpu.ops import quant, resblock_pallas
+
+        if _pallas_resblock_enabled() and resblock_pallas.supported(
+            x, p_conv["wq"], groups
+        ):
+            return resblock_pallas.gn_silu_conv3x3_q(
+                x, p_norm["scale"], p_norm["bias"], p_conv["wq"],
+                p_conv["ws"], p_conv["b"], groups=groups, eps=eps,
+            )
+        p_conv = {"w": quant.dequantize_conv(p_conv).astype(x.dtype),
+                  "b": p_conv["b"]}
     w = p_conv["w"]
     if (
         _pallas_resblock_enabled()

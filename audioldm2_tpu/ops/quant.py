@@ -76,3 +76,23 @@ def quantize_tree(tree, should_quantize=None):
         return node
 
     return walk(tree, ())
+
+
+def quantize_conv3x3_dict(p):
+    """{"w": [3,3,Cin,Cout] HWIO, "b"} -> {"wq" int8, "ws" f32 [Cout], "b"};
+    per-output-channel absmax over all 9 taps x Cin. Non-3x3 convs returned
+    unchanged."""
+    if not isinstance(p, dict) or "w" not in p or p["w"].ndim != 4:
+        return p
+    w32 = p["w"].astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=(0, 1, 2)) / 127.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    q = jnp.clip(jnp.round(w32 / s), -127.0, 127.0).astype(jnp.int8)
+    out = {k: v for k, v in p.items() if k != "w"}
+    out["wq"], out["ws"] = q, s
+    return out
+
+
+def dequantize_conv(p):
+    """Exact f32 reconstruction of a quantized conv's weight."""
+    return p["wq"].astype(jnp.float32) * p["ws"]

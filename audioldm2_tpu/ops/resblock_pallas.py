@@ -23,14 +23,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, gn_scale_ref, gn_bias_ref, w_ref, b_ref, o_ref, *,
-            groups: int, eps: float, T: int, F: int):
-    xin = x_ref[0]  # [S, Cin], S = T*F (input dtype, usually bf16)
+def _gn_silu(xin, gn_scale, gn_bias, groups: int, eps: float, out_dtype):
+    """GroupNorm stats via two f32-accumulated column passes, then
+    normalize + SiLU. xin: [S, Cin] -> [S, Cin] in out_dtype."""
     s, cin = xin.shape
-    cout = o_ref.shape[-1]
     cg = cin // groups
-
-    # --- GroupNorm stats: two f32-accumulated passes, then tiny slices ---
     x32 = xin.astype(jnp.float32)
     colsum = jnp.sum(x32, axis=0, keepdims=True)  # [1, Cin]
     colsq = jnp.sum(x32 * x32, axis=0, keepdims=True)
@@ -46,9 +43,41 @@ def _kernel(x_ref, gn_scale_ref, gn_bias_ref, w_ref, b_ref, o_ref, *,
     mean_c = jnp.concatenate(mean_parts, axis=1)
     rstd_c = jnp.concatenate(rstd_parts, axis=1)
 
-    y = (x32 - mean_c) * rstd_c * gn_scale_ref[...] + gn_bias_ref[...]
-    y = (y * jax.nn.sigmoid(y)).astype(w_ref.dtype)
+    y = (x32 - mean_c) * rstd_c * gn_scale + gn_bias
+    return (y * jax.nn.sigmoid(y)).astype(out_dtype)
 
+
+def _kernel(x_ref, gn_scale_ref, gn_bias_ref, w_ref, b_ref, o_ref, *,
+            groups: int, eps: float, T: int, F: int):
+    xin = x_ref[0]  # [S, Cin], S = T*F (input dtype, usually bf16)
+    s, cin = xin.shape
+    cout = o_ref.shape[-1]
+
+    y = _gn_silu(xin, gn_scale_ref[...], gn_bias_ref[...], groups, eps,
+                 w_ref.dtype)
+
+    _conv9_scoped(y, lambda dt, df: w_ref[dt + 1, df + 1], None,
+                  b_ref[...], o_ref, s, cin, cout, F)
+
+
+def _kernel_q(x_ref, gn_scale_ref, gn_bias_ref, wq_ref, ws_ref, b_ref, o_ref,
+              *, groups: int, eps: float, T: int, F: int):
+    """int8-weight variant: taps stream from HBM as int8 (half the bytes of
+    the bf16 weight — the dominant per-step HBM traffic at small CFG batch),
+    dequantize to bf16 in VMEM, and the per-output-channel scale applies
+    ONCE to the f32 accumulator (valid because the scale is per output
+    channel, shared by all 9 taps)."""
+    xin = x_ref[0]
+    s, cin = xin.shape
+    cout = o_ref.shape[-1]
+
+    y = _gn_silu(xin, gn_scale_ref[...], gn_bias_ref[...], groups, eps,
+                 jnp.bfloat16)
+    _conv9_scoped(y, lambda dt, df: wq_ref[dt + 1, df + 1].astype(jnp.bfloat16),
+                  ws_ref[...], b_ref[...], o_ref, s, cin, cout, F)
+
+
+def _conv9_scoped(y, tap_fn, out_scale, bias, o_ref, s, cin, cout, F):
     # --- 3x3 SAME conv as 9 shifted matmuls over reused scratch ---
     # row index = t * F + f; a (dt, df) tap reads row (t+dt)*F + (f+df)
     row_f = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0) % F
@@ -74,13 +103,15 @@ def _kernel(x_ref, gn_scale_ref, gn_bias_ref, w_ref, b_ref, o_ref, *,
                     ys_scr[...] = jnp.where(row_f == F - 1, 0.0, ys_scr[...]).astype(yy.dtype)
                 elif df == -1:
                     ys_scr[...] = jnp.where(row_f == 0, 0.0, ys_scr[...]).astype(yy.dtype)
-                w_tap = w_ref[dt + 1, df + 1]  # [Cin, Cout]
                 acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
-                    ys_scr[...], w_tap,
+                    ys_scr[...], tap_fn(dt, df),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        o_ref[0] = (acc_scr[...] + b_ref[...]).astype(o_ref.dtype)
+        acc = acc_scr[...]
+        if out_scale is not None:
+            acc = acc * out_scale
+        o_ref[0] = (acc + bias).astype(o_ref.dtype)
 
     pl.run_scoped(
         body,
@@ -114,6 +145,35 @@ def gn_silu_conv3x3(x, gn_scale, gn_bias, w, b, groups: int = 32,
         out_specs=pl.BlockSpec((1, s, cout), lambda i: (i, 0, 0)),
     )(xf, gn_scale.astype(jnp.float32), gn_bias.astype(jnp.float32), w,
       b.astype(jnp.float32))
+    return out.reshape(bsz, T, F, cout)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps"))
+def gn_silu_conv3x3_q(x, gn_scale, gn_bias, wq, ws, b, groups: int = 32,
+                      eps: float = 1e-5):
+    """Quantized-weight variant: wq int8 [3, 3, Cin, Cout] + per-output-
+    channel scale ws [Cout] f32 (see ops/quant.quantize_conv3x3_dict).
+    Returns [B, T, F, Cout] in x.dtype."""
+    bsz, T, F, cin = x.shape
+    cout = wq.shape[-1]
+    s = T * F
+    xf = x.reshape(bsz, s, cin)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_q, groups=groups, eps=eps, T=T, F=F),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, cout), x.dtype),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, s, cin), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cin,), lambda i: (0,)),
+            pl.BlockSpec((cin,), lambda i: (0,)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, s, cout), lambda i: (i, 0, 0)),
+    )(xf, gn_scale.astype(jnp.float32), gn_bias.astype(jnp.float32), wq,
+      ws.astype(jnp.float32), b.astype(jnp.float32))
     return out.reshape(bsz, T, F, cout)
 
 

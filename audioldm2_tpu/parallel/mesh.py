@@ -85,6 +85,20 @@ def param_shardings(mesh: Mesh, params):
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
+def sharded_leaf_count(params) -> int:
+    """How many leaves :func:`_param_spec` actually tp-shards.
+
+    The spec rules match by key name, so a silent rename in the param tree
+    would degrade tp>1 to full replication with no error; callers that
+    request tensor parallelism must check this is nonzero
+    (ShardedGenerator does)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return sum(
+        1 for path, leaf in flat
+        if any(ax is not None for ax in _param_spec(path, leaf))
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 

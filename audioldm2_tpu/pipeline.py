@@ -146,6 +146,28 @@ def seed_everything(seed: int):
     return jax.random.PRNGKey(int(seed))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_persistent_cache():
+    """Disable the persistent compile cache for host-side init programs.
+
+    The tiny CPU-backend init computations otherwise get written to / read
+    from the on-disk cache; XLA:CPU AOT entries bake in tuning
+    pseudo-features (+prefer-no-scatter/+prefer-no-gather) that the loader
+    then cannot find in the host CPU feature list, so every reload emits a
+    scary-but-false 'machine type mismatch ... could lead to SIGILL' error
+    line (reproduced on identical hardware). Init programs gain nothing
+    from the cache — skip it and keep the production/bench stderr clean."""
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+
+
 def _init_tree(key, cfg: ModelConfig) -> Dict:
     """The parameter-tree construction shared by :func:`init_params` (real
     jax.random values) and the eval_shape-based fast path."""
@@ -188,7 +210,7 @@ def _init_params_fast(key, cfg: ModelConfig) -> Dict:
     prev = _nn.FAST_INIT
     _nn.FAST_INIT = True
     try:
-        with jax.default_device(jax.devices("cpu")[0]):
+        with _no_persistent_cache(), jax.default_device(jax.devices("cpu")[0]):
             return _init_tree(key, cfg)
     finally:
         _nn.FAST_INIT = prev
@@ -210,7 +232,7 @@ def init_params(key, cfg: ModelConfig, fast: Optional[bool] = None) -> Dict:
         fast = os.environ.get("AUDIOLDM2_FAST_INIT", "") == "1"
     if fast:
         return _init_params_fast(key, cfg)
-    with jax.default_device(jax.devices("cpu")[0]):
+    with _no_persistent_cache(), jax.default_device(jax.devices("cpu")[0]):
         return _init_tree(key, cfg)
 
 

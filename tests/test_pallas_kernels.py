@@ -360,3 +360,73 @@ def test_quantized_linear_fallback_and_unet_quant_transform(rng):
     assert np.abs(out_q - out_f).mean() / denom < 0.05, (
         np.abs(out_q - out_f).mean(), denom
     )
+
+
+def test_quantized_resblock_kernel_interpret(rng):
+    """int8-weight GN+SiLU+conv kernel (interpret mode) == jnp composition
+    with the exactly dequantized weight."""
+    import functools
+    from jax.experimental import pallas as pl
+    from audioldm2_tpu.ops import quant
+    from audioldm2_tpu.ops import resblock_pallas as rp
+
+    B, T, F, Cin, Cout = 2, 8, 4, 128, 128
+    x = jnp.asarray(rng.standard_normal((B, T, F, Cin)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(Cin), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(Cin), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(Cout), jnp.float32)
+    pq = quant.quantize_conv3x3_dict({"w": w, "b": b})
+
+    s = T * F
+    out = pl.pallas_call(
+        functools.partial(rp._kernel_q, groups=32, eps=1e-5, T=T, F=F),
+        out_shape=jax.ShapeDtypeStruct((B, s, Cout), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, s, Cin), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Cin,), lambda i: (0,)),
+            pl.BlockSpec((Cin,), lambda i: (0,)),
+            pl.BlockSpec((3, 3, Cin, Cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((Cout,), lambda i: (0,)),
+            pl.BlockSpec((Cout,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, s, Cout), lambda i: (i, 0, 0)),
+        interpret=True,
+    )(x.reshape(B, s, Cin), scale, bias, pq["wq"], pq["ws"], b).reshape(
+        B, T, F, Cout
+    )
+
+    want = nn.conv2d(
+        {"w": quant.dequantize_conv(pq), "b": b},
+        nn.silu(nn.group_norm({"scale": scale, "bias": bias}, x)),
+    )
+    # the kernel matmuls int8->bf16 taps; tolerance covers bf16 rounding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-2, rtol=2e-2)
+    # and the quantization itself is a faithful int8 (<= 1/254 rel of absmax)
+    err = np.abs(np.asarray(quant.dequantize_conv(pq)) - np.asarray(w)).max()
+    assert err <= np.abs(np.asarray(w)).max() / 254 + 1e-7
+
+
+def test_quantize_resblock_convs_transform(rng):
+    """Only 128-multiple in/out convs quantize; the tree structure and the
+    dequantized-fallback numerics stay faithful."""
+    import jax as _jax
+    from audioldm2_tpu.models import unet as unet_m
+    from audioldm2_tpu.ops import quant
+
+    p = {
+        "in_conv": {"w": jnp.asarray(rng.standard_normal((3, 3, 128, 256)), jnp.float32),
+                    "b": jnp.zeros((256,))},
+        "out_conv": {"w": jnp.asarray(rng.standard_normal((3, 3, 8, 128)), jnp.float32),
+                     "b": jnp.zeros((128,))},
+        "emb": {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))},
+    }
+    q = unet_m.quantize_resblock_convs(p)
+    assert "wq" in q["in_conv"] and q["in_conv"]["wq"].dtype == jnp.int8
+    assert "w" in q["out_conv"]  # Cin=8 not a 128 multiple -> untouched
+    assert "w" in q["emb"]
+    rel = np.abs(
+        np.asarray(quant.dequantize_conv(q["in_conv"])) - np.asarray(p["in_conv"]["w"])
+    ).max() / np.abs(np.asarray(p["in_conv"]["w"])).max()
+    assert rel < 1 / 200

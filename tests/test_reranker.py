@@ -120,3 +120,20 @@ def test_missing_reranker_warns():
     with pytest.warns(UserWarning, match="no CLAP reranker weights"):
         out = pipeline.rerank_and_select(model, wav, "x", batchsize=1, n_gen=3)
     assert out.shape == (1, 64)
+
+
+def test_device_resample_matches_host_polyphase():
+    """resample_poly_jnp (one XLA dilated conv inside the jitted scorer)
+    == the host polyphase path (scipy resample_poly semantics) bit-near."""
+    import jax.numpy as jnp
+    from scipy.signal import resample_poly
+
+    from audioldm2_tpu.models.clap import resample_poly_jnp
+
+    rng = np.random.default_rng(3)
+    for n, up, down in [(16000, 3, 1), (1600, 3, 1), (48000, 1, 3)]:
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        ours = np.asarray(resample_poly_jnp(jnp.asarray(x), up, down))
+        want = resample_poly(x, up, down, axis=-1).astype(np.float32)
+        assert ours.shape == want.shape
+        np.testing.assert_allclose(ours, want, atol=2e-6)

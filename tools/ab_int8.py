@@ -58,6 +58,8 @@ def main():
     )
     unet_p = jax.jit(unet.fuse_self_qkv)(unet_p)
     unet_pq = jax.jit(unet.quantize_st_linears)(unet_p)
+    # ResBlock 3x3 convs — the dominant per-step weight stream
+    unet_pq = jax.jit(unet.quantize_resblock_convs)(unet_pq)
     shape = (b, latent_t, cfg.latent_f_size, cfg.latent_channels)
     schedule = model.ldm.schedule
 

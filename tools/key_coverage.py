@@ -21,9 +21,13 @@ Keys that are *correct* to skip (with the reference evidence):
 - ``betas``/``alphas_cumprod*``/``sqrt_*``/``posterior_*``/``logvar``/
   ``lvlb_weights`` — diffusion-schedule buffers recomputed from config
   (reference ``ddpm.py:234-302``; our ``diffusion/schedule.py``).
-- ``model_ema.*`` — EMA shadow copy; the inference entry points run with
-  ``ema_scope`` commented out (reference ``ddpm.py:1498,1596``), so raw
-  ``model.*`` weights are what generation uses.
+- ``model_ema.*`` — EMA shadow copy; the default inference entry points
+  run with ``ema_scope`` commented out (reference ``ddpm.py:1498,1596``).
+  Since round 3 the production converter DOES consume these into a
+  ``unet_ema`` tree for ``generate(use_ema=True)`` (pipeline.convert_
+  state_dict); this coverage tool keeps them in the skip class so its
+  "0 unconsumed" criterion stays about the weights generation uses by
+  default.
 - ``cond_stage_models.*.model.embeddings.position_ids`` /
   ``*.position_ids`` — non-learned integer range buffers.
 - ``clap.model.*audio_branch*`` spectrogram/logmel buffers — recomputed.
