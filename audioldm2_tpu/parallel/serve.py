@@ -107,7 +107,7 @@ class ShardedGenerator:
         return np.asarray(wav)
 
 
-def dryrun_infer(n_devices: int, ddim_steps: int = 5, duration: float = 2.5):
+def dryrun_infer(n_devices: int, ddim_steps: int = 2, duration: float = 1.25):
     """Production-geometry sharded-INFERENCE dry run (the train-step analogue
     lives in parallel/train.dryrun).
 
@@ -119,6 +119,7 @@ def dryrun_infer(n_devices: int, ddim_steps: int = 5, duration: float = 2.5):
     sharded a nonzero number of tensors (guard against silent key-name
     drift) and that every device holds a latent shard.
     """
+    import dataclasses
     import os
 
     os.environ.setdefault("AUDIOLDM2_FAST_INIT", "1")
@@ -126,12 +127,34 @@ def dryrun_infer(n_devices: int, ddim_steps: int = 5, duration: float = 2.5):
     from audioldm2_tpu.config import default_audioldm_config
 
     cfg = default_audioldm_config("audioldm_16k_crossattn_t5")
+    t5_layers = int(os.environ.get("AUDIOLDM2_DRYRUN_T5_LAYERS", "0"))
+    if t5_layers:
+        # compile-budget knob: same T5 hidden dims (so every tp sharding
+        # rule fires identically per layer), fewer layers
+        def shrink(spec):
+            if spec.kind == "flan_t5":
+                return dataclasses.replace(
+                    spec,
+                    flan_t5=dataclasses.replace(spec.flan_t5, num_layers=t5_layers),
+                )
+            return spec
+
+        cfg = dataclasses.replace(
+            cfg, conditioners=tuple(shrink(s) for s in cfg.conditioners)
+        )
     params = pipeline.init_params(jax.random.PRNGKey(0), cfg, fast=True)
     model = pipeline.AudioLDM2(cfg, params)
 
     mesh = make_mesh(n_devices, tp=2 if n_devices % 2 == 0 else 1)
     gen = ShardedGenerator(model, mesh=mesh)
     assert gen.tp == 1 or gen.n_sharded > 0
+    print(
+        f"infer dryrun: mesh {mesh.devices.shape} (dp x tp), "
+        f"{gen.n_sharded} tp-sharded params; compiling the production-"
+        "geometry GSPMD program (~15 min cold on a single-core host, "
+        "persistent-cached thereafter)...",
+        flush=True,
+    )
     texts = ["a dog barking"] * gen.dp  # one prompt per dp shard
     wav = gen.generate(
         texts, jax.random.PRNGKey(1), duration=duration, n_gen=1,

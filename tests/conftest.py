@@ -9,9 +9,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices time-sliced on a 1-core host can legitimately be
+    # >40 s apart at a collective rendezvous; the XLA:CPU default aborts
+    # the process at 40 s (rendezvous.cc termination timeout).
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

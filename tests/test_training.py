@@ -63,6 +63,7 @@ def test_clap_contrastive_loss_gather():
     assert abs(got - want) < 1e-5
 
 
+@pytest.mark.slow  # includes the production-geometry GSPMD infer dryrun
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
