@@ -245,11 +245,36 @@ def resample_poly_jnp(wav, up: int, down: int):
     return out[:, 0, :]
 
 
+def resample_sinc_jnp(wav, orig_sr: int, target_sr: int):
+    """Device-side reference-matching resample (torchaudio sinc_interp_hann
+    semantics, the reference's modules.py:700-703): the [n_phase, K] phase
+    bank from audio_io.sinc_interp_hann_kernel applied as ONE strided XLA
+    conv. wav: [B, N] -> [B, ceil(N*new/orig)]."""
+    if orig_sr == target_sr:
+        return wav
+    from audioldm2_tpu.utils.audio_io import sinc_interp_hann_kernel
+
+    kernel, orig, new, width = sinc_interp_hann_kernel(orig_sr, target_sr)
+    n_in = wav.shape[-1]
+    n_out = -(-n_in * new // orig)
+    n_frames = -(-n_out // new)
+    K = kernel.shape[1]
+    pad_r = (n_frames - 1) * orig + K - width - n_in
+    out = jax.lax.conv_general_dilated(
+        wav[:, None, :].astype(jnp.float32),
+        jnp.asarray(kernel, jnp.float32)[:, None, :],
+        window_strides=(orig,),
+        padding=[(width, max(0, pad_r))],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # [B, n_phase, n_frames]
+    out = jnp.transpose(out, (0, 2, 1)).reshape(wav.shape[0], -1)
+    return out[:, :n_out]
+
+
 def prepare_clap_audio_jnp(wav, orig_sr: int, cfg: CLAPConfig):
     """Device-side :func:`prepare_clap_audio` (resample + repeatpad clip
     fitting); all lengths are static so it traces into the jitted scorer."""
-    frac = __import__("fractions").Fraction(cfg.sampling_rate, orig_sr)
-    wav48 = resample_poly_jnp(wav, frac.numerator, frac.denominator)
+    wav48 = resample_sinc_jnp(wav, orig_sr, cfg.sampling_rate)
     clip = cfg.clip_samples
     n = wav48.shape[-1]
     if n < clip:

@@ -141,9 +141,14 @@ def _record_timings(model: "AudioLDM2", duration: float, batchsize: int, **stage
 def seed_everything(seed: int):
     """The JAX analogue of the reference's global RNG seeding
     (reference pipeline.py:20-31): we return a threefry key; all device
-    randomness flows from it explicitly."""
+    randomness flows from it explicitly.
+
+    Built host-side as the raw uint32[2] key data (bitwise what
+    ``jax.random.PRNGKey`` returns under default x64-off) — PRNGKey itself
+    dispatches a tiny device program, which costs a full ~31 ms round trip
+    through the remote-TPU tunnel on every generation call."""
     np.random.seed(int(seed) % (2**32))
-    return jax.random.PRNGKey(int(seed))
+    return np.array([0, np.uint32(int(seed) & 0xFFFFFFFF)], dtype=np.uint32)
 
 
 import contextlib

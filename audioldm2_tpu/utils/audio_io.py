@@ -8,12 +8,10 @@ mean-subtract, peak-normalize to 0.5, pad/cut to the segment length.
 from __future__ import annotations
 
 import os
-from fractions import Fraction
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
 from scipy.io import wavfile
-from scipy.signal import resample_poly
 
 
 def _to_float(data: np.ndarray) -> np.ndarray:
@@ -26,20 +24,73 @@ def _to_float(data: np.ndarray) -> np.ndarray:
     return data.astype(np.float32)
 
 
+def sinc_interp_hann_kernel(
+    orig_sr: int,
+    target_sr: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+):
+    """Phase-bank taps of the reference resampler.
+
+    The reference resamples with ``torchaudio.functional.resample`` defaults
+    (sinc interpolation under a squared-cosine/Hann window, width 6,
+    rolloff 0.99) for both file reading (tools.py:31) and CLAP audio prep
+    (modules.py:700-703). torchaudio is absent in this image, so the
+    documented kernel is built here from its published formula.
+
+    Returns ``(kernel [n_phase, K] float32, orig, n_phase, width)`` with the
+    gcd-reduced rates: ``out[j*n_phase+p] = sum_k x[j*orig+k-width]*kernel[p,k]``
+    and output length ``ceil(n_in * n_phase / orig)``.
+    """
+    import math
+
+    g = math.gcd(int(orig_sr), int(target_sr))
+    orig, new = int(orig_sr) // g, int(target_sr) // g
+    base_freq = min(orig, new) * rolloff
+    width = int(math.ceil(lowpass_filter_width * orig / base_freq))
+    idx = np.arange(-width, width + orig, dtype=np.float64)[None, :] / orig
+    t = np.arange(0, -new, -1, dtype=np.float64)[:, None] / new + idx
+    t *= base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+    window = np.cos(t * np.pi / lowpass_filter_width / 2) ** 2
+    tpi = t * np.pi
+    kernel = np.where(tpi == 0, 1.0, np.sin(tpi) / np.where(tpi == 0, 1.0, tpi))
+    kernel *= window * (base_freq / orig)
+    return kernel.astype(np.float32), orig, new, width
+
+
+def _resample_sinc_np(x: np.ndarray, kernel: np.ndarray, orig: int, new: int,
+                      width: int) -> np.ndarray:
+    """Numpy fallback for the phase-bank resampler (native.resample_sinc is
+    the default engine)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    K = kernel.shape[1]
+    n_in = x.shape[-1]
+    n_out = -(-n_in * new // orig)
+    n_frames = -(-n_out // new)
+    # pad so every frame window exists: last frame starts at (n_frames-1)*orig
+    need = (n_frames - 1) * orig + K
+    xpad = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(width, max(0, need - n_in - width))])
+    frames = sliding_window_view(xpad, K, axis=-1)[..., ::orig, :][..., :n_frames, :]
+    out = np.einsum("...tk,pk->...tp", frames, kernel)
+    return out.reshape(x.shape[:-1] + (-1,))[..., :n_out].astype(np.float32)
+
+
 def resample(waveform: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Reference-matching resample (torchaudio sinc_interp_hann defaults);
+    native C++ engine when built, numpy phase-bank matmul otherwise."""
     if orig_sr == target_sr:
         return waveform
+    kernel, orig, new, width = sinc_interp_hann_kernel(orig_sr, target_sr)
     try:
         from audioldm2_tpu.utils import native
 
         if native.available():
-            return native.resample(waveform, orig_sr, target_sr)
+            return native.resample_sinc(waveform, kernel, orig, new, width)
     except Exception:
         pass
-    frac = Fraction(target_sr, orig_sr)
-    return resample_poly(waveform, frac.numerator, frac.denominator, axis=-1).astype(
-        np.float32
-    )
+    return _resample_sinc_np(np.asarray(waveform, np.float32), kernel, orig, new, width)
 
 
 def normalize_wav(waveform: np.ndarray) -> np.ndarray:

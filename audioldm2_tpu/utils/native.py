@@ -47,6 +47,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.normalize_wav_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64
         ]
+        lib.resample_sinc_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -89,6 +95,31 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
         lib.resample_poly_f32(
             row_in.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             row_in.shape[0], up, down, fp, filt.shape[0],
+            row_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out,
+        )
+    return out[0] if squeeze else out
+
+
+def resample_sinc(x: np.ndarray, kernel: np.ndarray, orig: int, n_phase: int,
+                  width: int) -> Optional[np.ndarray]:
+    """Phase-bank windowed-sinc resample (torchaudio semantics; taps from
+    audio_io.sinc_interp_hann_kernel). Returns None when the lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    kernel = np.ascontiguousarray(kernel, np.float32)
+    K = kernel.shape[1]
+    n_out = -(-x.shape[-1] * n_phase // orig)
+    out = np.empty(x.shape[:-1] + (n_out,), np.float32)
+    kp = kernel.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    for row_in, row_out in zip(x.reshape(-1, x.shape[-1]), out.reshape(-1, n_out)):
+        lib.resample_sinc_f32(
+            row_in.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            row_in.shape[0], orig, n_phase, kp, K, width,
             row_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out,
         )
     return out[0] if squeeze else out

@@ -38,6 +38,33 @@ void resample_poly_f32(const float* in, int64_t n_in, int up, int down,
   }
 }
 
+// Windowed-sinc phase-bank resampler (the torchaudio.functional.resample
+// "sinc_interp_hann" semantics the reference uses for file reading,
+// tools.py:31, and CLAP audio prep, modules.py:700-703).
+//   out[j*n_phase + p] = sum_k in[j*orig + k - width] * kernel[p*K + k]
+// kernel: [n_phase, K] row-major phase bank; out length n_out =
+// ceil(n_in * n_phase / orig) (gcd-reduced rates).
+void resample_sinc_f32(const float* in, int64_t n_in, int orig, int n_phase,
+                       const float* kernel, int64_t K, int64_t width,
+                       float* out, int64_t n_out) {
+  for (int64_t j = 0;; ++j) {
+    if (j * (int64_t)n_phase >= n_out) return;
+    const int64_t base = j * (int64_t)orig - width;
+    const int64_t k_lo = std::max<int64_t>(0, -base);
+    const int64_t k_hi = std::min<int64_t>(K, n_in - base);
+    for (int p = 0; p < n_phase; ++p) {
+      const int64_t t = j * (int64_t)n_phase + p;
+      if (t >= n_out) break;
+      const float* kp = kernel + (int64_t)p * K;
+      double acc = 0.0;
+      for (int64_t k = k_lo; k < k_hi; ++k) {
+        acc += (double)kp[k] * (double)in[base + k];
+      }
+      out[t] = (float)acc;
+    }
+  }
+}
+
 // Mean-subtract, scale to 0.5 peak (reference tools.py:22-25).
 void normalize_wav_f32(float* x, int64_t n) {
   double mean = 0.0;
