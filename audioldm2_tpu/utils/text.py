@@ -44,26 +44,48 @@ def _try_hf_tokenizer(name: str):
 
 class HashWordTokenizer:
     """Deterministic word-hash tokenizer used when the real HF tokenizer is
-    unavailable. Stable across processes (hashlib, not hash())."""
+    unavailable. Stable across processes (hashlib, not hash()).
 
-    def __init__(self, vocab_size: int, pad_id: int = 0, eos_id: int = 1):
+    Special-token ids MUST follow the named model family's conventions:
+    RoBERTa treats id 1 as ``padding_idx`` inside its position-id computation
+    (``cumsum(input_ids != 1)``), so a fallback that emits id 1 for a real
+    token (or pads with anything other than 1) makes the HF reference and
+    this repo's RoBERTa disagree on identical ids — measured 3.3e-2 on the
+    normalized CLAP text embedding before this was pinned down."""
+
+    def __init__(self, vocab_size: int, pad_id: int = 0, eos_id: int = 1,
+                 bos_id: Optional[int] = None):
         self.vocab_size = vocab_size
         self.pad_id = pad_id
         self.eos_id = eos_id
+        self.bos_id = bos_id
 
     def _word_id(self, word: str) -> int:
         h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
-        return 100 + h % (self.vocab_size - 100)
+        return 200 + h % (self.vocab_size - 200)
 
     def __call__(self, texts: List[str], max_length: int):
         ids = np.full((len(texts), max_length), self.pad_id, np.int32)
         mask = np.zeros((len(texts), max_length), np.int32)
+        prefix = [] if self.bos_id is None else [self.bos_id]
         for b, text in enumerate(texts):
             words = re.findall(r"\w+|[^\w\s]", text.lower())
-            toks = [self._word_id(w) for w in words][: max_length - 1] + [self.eos_id]
+            toks = prefix + [self._word_id(w) for w in words]
+            toks = toks[: max_length - 1] + [self.eos_id]
             ids[b, : len(toks)] = toks
             mask[b, : len(toks)] = 1
         return ids, mask
+
+
+# HF special-token conventions per tokenizer family (public constants).
+_FALLBACK_SPECIALS = {
+    "google/flan-t5-large": dict(pad_id=0, eos_id=1),
+    "roberta-base": dict(pad_id=1, bos_id=0, eos_id=2),
+    "bert-base-uncased": dict(pad_id=0, bos_id=101, eos_id=102),
+    "facebook/bart-base": dict(pad_id=1, bos_id=0, eos_id=2),
+}
+
+_warned_fallback: set = set()
 
 
 class TextTokenizer:
@@ -73,8 +95,22 @@ class TextTokenizer:
     def __init__(self, hf_name: str, vocab_size: int, max_length: int):
         self.max_length = max_length
         self.hf = _try_hf_tokenizer(hf_name)
-        self.fallback = HashWordTokenizer(vocab_size)
+        self.fallback = HashWordTokenizer(
+            vocab_size, **_FALLBACK_SPECIALS.get(hf_name, {})
+        )
         self.is_exact = self.hf is not None
+        if self.hf is None and hf_name not in _warned_fallback:
+            _warned_fallback.add(hf_name)
+            import sys
+
+            print(
+                f"[audioldm2_tpu] WARNING: HF tokenizer '{hf_name}' unavailable "
+                "(offline, no cache) — using a deterministic hash fallback. "
+                "Shapes and padding match, token ids do NOT: generated audio "
+                "will differ from a reference run with the real tokenizer.",
+                file=sys.stderr,
+                flush=True,
+            )
 
     def __call__(self, texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         if self.hf is not None:
