@@ -2,6 +2,11 @@
 quantization error on the final latents.
 
 Usage: python tools/ab_int8.py [--batch 1] [--steps 20] [--lnmm]
+
+CAVEAT: at random init the latent-error readout is structurally ZERO — the
+UNet's output conv is zero-init (reference openaimodel.py:817 zero_module),
+so eps≡0 and the sampler trajectory is weight-independent. The timing A/B
+is valid; the quantization-error measurement needs converted real weights.
 """
 
 from __future__ import annotations
