@@ -9,6 +9,7 @@ DDIM -> VAE decode -> vocoder.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Dict, Optional
 
 import numpy as np
@@ -525,9 +526,12 @@ def rerank_and_select(
     for i in range(batchsize):
         candidates = sim[i::batchsize]
         best.append(i + int(np.argmax(candidates)) * batchsize)
-    print("Similarity between generated audio and text:")
-    print(" ".join("{:.2f}".format(float(s)) for s in sim))
-    print("Choose the following indexes as the output:", best)
+    # stderr, not stdout: bench.py's contract is that stdout carries exactly
+    # one JSON line (the reference prints these on stdout, ddpm.py:1563-1566,
+    # but it has no machine-read output channel to protect).
+    print("Similarity between generated audio and text:", file=sys.stderr)
+    print(" ".join("{:.2f}".format(float(s)) for s in sim), file=sys.stderr)
+    print("Choose the following indexes as the output:", best, file=sys.stderr)
     return wav[best]
 
 
