@@ -35,11 +35,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, head_dim: int):
     q = q_ref[0]  # [block_q, C]
     k = k_ref[0]  # [T, C]
     v = v_ref[0]  # [T, C]
     d = head_dim
+    # Softmax via exp2 with scale*log2(e) folded into the logits multiply
+    # (exp lowers to exp2 + a multiply anyway — folding saves one f32 pass
+    # over the [block_q, T] tile per head), and the 1/sum normalization
+    # deferred to the [block_q, D] output (T/D fewer divides).
+    s2 = scale * _LOG2E
     outs = []
     for i in range(q.shape[-1] // d):  # static unroll; lane slices in VMEM
         qh = q[:, i * d : (i + 1) * d]  # [block_q, D]
@@ -51,19 +59,17 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, head_dim: int):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            * scale
-        )  # [block_q, T]
+            * s2
+        )  # [block_q, T], base-2 scaled
         m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
+        p = jnp.exp2(logits - m)
         s = jnp.sum(p, axis=-1, keepdims=True)
-        weights = (p / s).astype(vh.dtype)
-        outs.append(
-            jax.lax.dot_general(
-                weights, vh,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(o_ref.dtype)
-        )
+        acc = jax.lax.dot_general(
+            p.astype(vh.dtype), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, D]
+        outs.append((acc / s).astype(o_ref.dtype))
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
