@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _gn_silu(xin, gn_scale, gn_bias, groups: int, eps: float, out_dtype):
@@ -78,47 +77,45 @@ def _kernel_q(x_ref, gn_scale_ref, gn_bias_ref, wq_ref, ws_ref, b_ref, o_ref,
 
 
 def _conv9_scoped(y, tap_fn, out_scale, bias, o_ref, s, cin, cout, F):
-    # --- 3x3 SAME conv as 9 shifted matmuls over reused scratch ---
-    # row index = t * F + f; a (dt, df) tap reads row (t+dt)*F + (f+df)
+    # --- 3x3 SAME conv as 9 shifted matmuls ---
+    # row index = t * F + f; a (dt, df) tap reads row (t+dt)*F + (f+df).
+    # Shifts are VALUE-level concatenates, NOT scratch-ref partial stores:
+    # Mosaic mis-lowers sublane-misaligned `scr[:s-k,:] = val[k:]` stores
+    # when the array is exactly one lane-tile wide (cin=128) — silently
+    # wrong results (err ~5 at output std ~1; round-4 on-chip sweep, every
+    # T/F at cin=128 bad, cin>=256 fine, interpret mode fine). The value
+    # form lowers correctly at every shipped shape and lets Mosaic keep its
+    # own liveness (the VMEM budget in `supported` already assumes two
+    # [s, cin] live copies + the f32 accumulator).
     row_f = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0) % F
 
-    def body(y_scr, ys_scr, acc_scr):
-        y_scr[...] = y
-        acc_scr[...] = jnp.zeros((s, cout), jnp.float32)
-        for dt in (-1, 0, 1):
-            for df in (-1, 0, 1):
-                # output row r reads input row r + shift
-                shift = dt * F + df
-                yy = y_scr[...]
-                if shift > 0:
-                    ys_scr[: s - shift, :] = yy[shift:]
-                    ys_scr[s - shift :, :] = jnp.zeros((shift, cin), yy.dtype)
-                elif shift < 0:
-                    ys_scr[-shift:, :] = yy[: s + shift]
-                    ys_scr[:-shift, :] = jnp.zeros((-shift, cin), yy.dtype)
-                else:
-                    ys_scr[...] = yy
-                # f + df out of [0, F): zero the tap for boundary output rows
-                if df == 1:
-                    ys_scr[...] = jnp.where(row_f == F - 1, 0.0, ys_scr[...]).astype(yy.dtype)
-                elif df == -1:
-                    ys_scr[...] = jnp.where(row_f == 0, 0.0, ys_scr[...]).astype(yy.dtype)
-                acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
-                    ys_scr[...], tap_fn(dt, df),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        acc = acc_scr[...]
-        if out_scale is not None:
-            acc = acc * out_scale
-        o_ref[0] = (acc + bias).astype(o_ref.dtype)
-
-    pl.run_scoped(
-        body,
-        y_scr=pltpu.VMEM((s, cin), y.dtype),
-        ys_scr=pltpu.VMEM((s, cin), y.dtype),
-        acc_scr=pltpu.VMEM((s, cout), jnp.float32),
-    )
+    acc = jnp.zeros((s, cout), jnp.float32)
+    for dt in (-1, 0, 1):
+        for df in (-1, 0, 1):
+            # output row r reads input row r + shift
+            shift = dt * F + df
+            if shift > 0:
+                ys = jnp.concatenate(
+                    [y[shift:], jnp.zeros((shift, cin), y.dtype)], axis=0)
+            elif shift < 0:
+                ys = jnp.concatenate(
+                    [jnp.zeros((-shift, cin), y.dtype), y[: s + shift]],
+                    axis=0)
+            else:
+                ys = y
+            # f + df out of [0, F): zero the tap for boundary output rows
+            if df == 1:
+                ys = jnp.where(row_f == F - 1, 0.0, ys).astype(y.dtype)
+            elif df == -1:
+                ys = jnp.where(row_f == 0, 0.0, ys).astype(y.dtype)
+            acc = acc + jax.lax.dot_general(
+                ys, tap_fn(dt, df),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    if out_scale is not None:
+        acc = acc * out_scale
+    o_ref[0] = (acc + bias).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps"))
