@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -132,11 +133,18 @@ def norm_init(channels):
 # ---------------------------------------------------------------------------
 
 
+def _pallas_int8_enabled() -> bool:
+    """int8 weight-streaming kernels are mandatory-on-TPU (the jnp
+    fallback's inline dequant gets hoisted out of the sampling scan),
+    but still honor the emergency kill-switch."""
+    return _on_tpu() and _env_flag("AUDIOLDM2_PALLAS") is not False
+
+
 def linear(p, x):
     if "wq" in p:  # int8-quantized (ops/quant.py)
         from audioldm2_tpu.ops import lnmm_pallas, quant
 
-        if _on_tpu() and lnmm_pallas.int8_matmul_supported(x, p["wq"]):
+        if _pallas_int8_enabled() and lnmm_pallas.int8_matmul_supported(x, p["wq"]):
             return lnmm_pallas.int8_matmul(x, p["wq"], p["ws"], p.get("b"))
         p = {"w": quant.dequantize(p), **{k: v for k, v in p.items()
                                           if k not in ("wq", "ws")}}
@@ -151,6 +159,38 @@ def _on_tpu() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+def _env_flag(name: str) -> Optional[bool]:
+    """Tri-state env read: unset -> None, '0'/'false'/'off' -> False,
+    anything else -> True."""
+    v = os.environ.get(name)
+    if v is None:
+        return None
+    return v.strip().lower() not in ("0", "false", "off", "")
+
+
+def pallas_env_override(kernel: str) -> Optional[bool]:
+    """Runtime kill-switch for Pallas kernel dispatch (VERDICT r3 #1b: a
+    bad kernel must be disable-able without a code edit). Precedence:
+
+      AUDIOLDM2_PALLAS=0            -> every kernel off (emergency stop)
+      AUDIOLDM2_PALLAS_<KERNEL>=0/1 -> that kernel forced off/on
+      unset                         -> None (module constant / auto rules)
+
+    Read at trace time: flip the env var, then ``jax.clear_caches()`` (or
+    start a fresh process) to retrace. bench.py uses this to fall back to
+    the pure-XLA path if a kernel fails to compile.
+    """
+    glob = _env_flag("AUDIOLDM2_PALLAS")
+    if glob is False:
+        return False
+    per = _env_flag(f"AUDIOLDM2_PALLAS_{kernel.upper()}")
+    if per is not None:
+        return per
+    if glob is True:
+        return True
+    return None
 
 
 def conv2d(p, x, stride: Tuple[int, int] = (1, 1), padding="SAME"):
@@ -231,12 +271,12 @@ USE_PALLAS_GROUPNORM = False
 
 
 def _pallas_groupnorm_enabled() -> bool:
+    env = pallas_env_override("groupnorm")
+    if env is not None:
+        return env
     if USE_PALLAS_GROUPNORM is not None:
         return USE_PALLAS_GROUPNORM
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return _on_tpu()
 
 
 # Default None = auto (TPU only): the fused GN+SiLU+conv3x3 ResBlock kernel
@@ -245,12 +285,12 @@ USE_PALLAS_RESBLOCK = None
 
 
 def _pallas_resblock_enabled() -> bool:
+    env = pallas_env_override("resblock")
+    if env is not None:
+        return env
     if USE_PALLAS_RESBLOCK is not None:
         return USE_PALLAS_RESBLOCK
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return _on_tpu()
 
 
 def gn_silu_conv(p_norm, p_conv, x, groups: int = 32, eps: float = 1e-5):
@@ -388,6 +428,9 @@ USE_PALLAS_LNMM = None
 
 
 def _pallas_lnmm_enabled() -> bool:
+    env = pallas_env_override("lnmm")
+    if env is not None:
+        return env
     if USE_PALLAS_LNMM is not None:
         return USE_PALLAS_LNMM
     return _on_tpu()
@@ -403,7 +446,7 @@ def ln_linear(p_norm, p_lin, x, eps: float = 1e-5):
         from audioldm2_tpu.ops import lnmm_pallas
 
         w = p_lin["wq"] if quantized else p_lin["w"]
-        if (quantized and _on_tpu() or not quantized) and \
+        if (quantized and _pallas_int8_enabled() or not quantized) and \
                 lnmm_pallas.ln_matmul_supported(x, w):
             return lnmm_pallas.ln_matmul(
                 x, p_norm["scale"], p_norm["bias"],
@@ -421,7 +464,7 @@ def geglu_ff_out(p_lin, h, residual):
         from audioldm2_tpu.ops import lnmm_pallas
 
         w = p_lin["wq"] if quantized else p_lin["w"]
-        if (quantized and _on_tpu() or not quantized) and \
+        if (quantized and _pallas_int8_enabled() or not quantized) and \
                 lnmm_pallas.geglu_matmul_supported(h, w):
             return lnmm_pallas.geglu_matmul(
                 h, w if quantized else w.astype(h.dtype), p_lin["b"],
@@ -444,12 +487,12 @@ _PALLAS_ATTENTION_MIN_LOGITS = 3 * 8 * 1024 * 1024
 
 
 def _pallas_attention_enabled(q=None) -> bool:
+    env = pallas_env_override("attention")
+    if env is not None:
+        return env
     if USE_PALLAS_ATTENTION is not None:
         return USE_PALLAS_ATTENTION
-    try:
-        if jax.default_backend() not in ("tpu", "axon"):
-            return False
-    except Exception:
+    if not _on_tpu():
         return False
     if q is None:
         return True

@@ -37,74 +37,55 @@ def test_groupnorm_silu_kernel_interpret(rng):
 
 
 def test_fused_attention_kernel_interpret(rng):
-    import functools
-    from jax.experimental import pallas as pl
+    """v5 kernel through the real wrapper (lane-blocked grid) vs the jnp
+    reference, at a shape with multiple q-blocks and lane-blocks."""
     from audioldm2_tpu.ops import attention_pallas as ap
 
-    b, t, h, d = 2, 256, 4, 32
-    c = h * d
+    b, t, h, d = 2, 256, 8, 32  # c=256 -> 2 lane blocks of 4 heads
     q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     scale = d ** -0.5
 
-    bq = 128  # two q-blocks per batch row exercises the grid
-    kv_spec = pl.BlockSpec((1, t, c), lambda i, _: (i, 0, 0))
-    q_spec = pl.BlockSpec((1, bq, c), lambda i, qi: (i, qi, 0))
-    out = pl.pallas_call(
-        functools.partial(ap._attn_kernel, scale=scale, head_dim=d),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
-        grid=(b, t // bq),
-        in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        interpret=True,
-    )(q.reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c))
-
-    want = nn.attention(q, k, v).reshape(b, t, c)
+    assert ap.supported(q, k, None, None)
+    out = ap.fused_self_attention(q, k, v, scale, interpret=True)
+    want = nn.attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-4)
 
 
-def test_attention_block_q_divides_all_supported_t():
-    """_block_q must return a multiple-of-128 divisor of t for every
-    supported token count, or the grid silently drops tail q-rows
-    (t=1536 = 15 s duration bucket at ds2 regression)."""
+def test_attention_block_q_vmem_budget_all_supported_t():
+    """_block_q must return a divisor of t for every supported token count
+    (or the grid silently drops tail q-rows — t=1536 = 15 s duration bucket
+    at ds2 regression), AND its worst-case live softmax set must respect
+    the VMEM budget assuming every unrolled head keeps logits+probs f32
+    tiles live (the v4 kernel's BENCH_r03 compile-OOM failure mode)."""
     from audioldm2_tpu.ops import attention_pallas as ap
 
-    for t in range(128, 4096 + 1, 128):
-        bq = ap._block_q(t)
-        assert t % bq == 0, (t, bq)
-        assert bq % 128 == 0, (t, bq)
-        assert bq * t <= (1 << 20) or bq == 128, (t, bq)
+    for d in (32, 64, 128):
+        n_h = ap._LANE_BLOCK // d
+        for t in range(128, 4096 + 1, 128):
+            bq = ap._block_q(t, d)
+            assert bq > 0, (t, d)
+            assert t % bq == 0, (t, d, bq)
+            assert bq % 8 == 0, (t, d, bq)
+            assert n_h * bq * t * 8 <= ap._VMEM_SOFTMAX_BUDGET, (t, d, bq)
 
 
 def test_fused_attention_kernel_nonpow2_t_interpret(rng):
     """End-to-end kernel wrapper at t=1536 (non-power-of-two token count
-    where the 4 MB cap forces multiple q-blocks) in interpret mode."""
-    import functools
-    from jax.experimental import pallas as pl
+    where the budget forces multiple q-blocks) in interpret mode."""
     from audioldm2_tpu.ops import attention_pallas as ap
 
     b, t, h, d = 1, 1536, 4, 32
-    c = h * d
     q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     scale = d ** -0.5
 
-    bq = ap._block_q(t)
-    assert t % bq == 0 and bq < t
-    kv_spec = pl.BlockSpec((1, t, c), lambda i, _: (i, 0, 0))
-    q_spec = pl.BlockSpec((1, bq, c), lambda i, qi: (i, qi, 0))
-    out = pl.pallas_call(
-        functools.partial(ap._attn_kernel, scale=scale, head_dim=d),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
-        grid=(b, t // bq),
-        in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        interpret=True,
-    )(q.reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c))
-
-    want = nn.attention(q, k, v).reshape(b, t, c)
+    assert ap._block_q(t, d) < t
+    assert ap.supported(q, k, None, None)
+    out = ap.fused_self_attention(q, k, v, scale, interpret=True)
+    want = nn.attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-4)
 
 
