@@ -537,11 +537,18 @@ def expand_ema_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     Returns ``{"model.<name>": shadow_value}`` for every shadow that matches
     a live param; the ``decay``/``num_updates`` counters are dropped.
     """
-    rev = {}
+    rev: Dict[str, str] = {}
+    ambiguous = set()
     for k in sd:
         if k.startswith("model."):
             name = k[len("model."):]
-            rev[name.replace(".", "")] = k
+            flat = name.replace(".", "")
+            if flat in rev:
+                # Two live names flatten identically (e.g. 'a.10.b' vs
+                # 'a.1.0b'): the shadow is unattributable. Last-write-wins
+                # would silently map it to the wrong parameter.
+                ambiguous.add(flat)
+            rev[flat] = k
     out = {}
     for k in list(sd):
         if not k.startswith("model_ema."):
@@ -550,6 +557,12 @@ def expand_ema_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if flat in ("decay", "num_updates"):
             sd[k]  # touch for coverage-tracking dicts
             continue
+        if flat in ambiguous:
+            raise ValueError(
+                f"EMA shadow '{k}' matches multiple live parameters after "
+                "dot-stripping (LitEma's naming is not invertible for this "
+                "geometry); refusing to guess."
+            )
         src = rev.get(flat)
         if src is not None:
             out[src] = sd[k]

@@ -147,9 +147,22 @@ def seed_everything(seed: int):
     Built host-side as the raw uint32[2] key data (bitwise what
     ``jax.random.PRNGKey`` returns under default x64-off) — PRNGKey itself
     dispatches a tiny device program, which costs a full ~31 ms round trip
-    through the remote-TPU tunnel on every generation call."""
+    through the remote-TPU tunnel on every generation call.
+
+    Caveats (ADVICE r3): like x64-off ``PRNGKey``, seeds wider than 32
+    bits are truncated to their low word; and raw-array keys go through
+    JAX's legacy-key acceptance, so when ``jax_legacy_prng_key`` is set to
+    'error' we pay the one-off ``wrap_key_data`` dispatch instead."""
     np.random.seed(int(seed) % (2**32))
-    return np.array([0, np.uint32(int(seed) & 0xFFFFFFFF)], dtype=np.uint32)
+    raw = np.array([0, np.uint32(int(seed) & 0xFFFFFFFF)], dtype=np.uint32)
+    try:
+        if jax.config.jax_legacy_prng_key == "error":
+            return jax.random.wrap_key_data(
+                jnp.asarray(raw), impl="threefry2x32"
+            )
+    except AttributeError:  # option removed in a future jax: raw keys only
+        pass
+    return raw
 
 
 import contextlib

@@ -6,9 +6,9 @@ RoBERTa branch instead — see utils/text.py). Standard CLIP BPE: bytes ->
 unicode mapping, merge ranks from a vocab file, ``<start_of_text>`` /
 ``<end_of_text>`` specials, fixed 77-token context.
 
-The merge table is loaded from a ``bpe_simple_vocab_16e6.txt.gz`` file
-(pass a path or set AUDIOLDM2_BPE_VOCAB); the file is public CLIP data and
-is not vendored here.
+The merge table is loaded from a ``bpe_simple_vocab_16e6.txt.gz`` file —
+by default the copy vendored at ``audioldm2_tpu/assets/`` (public CLIP
+data); pass a path or set AUDIOLDM2_BPE_VOCAB to override.
 """
 
 from __future__ import annotations

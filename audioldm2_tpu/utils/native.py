@@ -25,17 +25,21 @@ def _load() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
+    # Always run make: a no-op when the .so is newer than the source, and a
+    # rebuild when audio_kernels.cpp gained entry points since it was built
+    # (a stale .so otherwise raises AttributeError at the symbol lookup).
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # no compiler / read-only checkout: try whatever .so exists
     so = os.path.join(_NATIVE_DIR, "libaudio_kernels.so")
     if not os.path.exists(so):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            return None
+        return None
     try:
         lib = ctypes.CDLL(so)
         lib.resample_poly_f32.argtypes = [
@@ -54,7 +58,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: stale .so predating a newer entry point and make
+        # was unavailable to rebuild it — treat as not-available.
         _LIB = None
     return _LIB
 

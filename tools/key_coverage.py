@@ -292,7 +292,18 @@ def check_family(model_name: str):
     conv_leaves = leaf_paths(params)
     init_leaves = leaf_paths(init)
     missing_in_conv = sorted(set(init_leaves) - set(conv_leaves))
-    extra_in_conv = sorted(set(conv_leaves) - set(init_leaves))
+    # The EMA shadow tree (produced when the checkpoint ships model_ema.*;
+    # init_params never materializes one) must mirror the live UNet
+    # leaf-for-leaf — verify that instead of flagging it as extra.
+    ema_mismatch = sorted(
+        k for k in conv_leaves
+        if k.startswith("unet_ema.")
+        and init_leaves.get("unet." + k[len("unet_ema."):]) != conv_leaves[k]
+    )
+    extra_in_conv = sorted(
+        k for k in set(conv_leaves) - set(init_leaves)
+        if not k.startswith("unet_ema.")
+    ) + ema_mismatch
     shape_mismatch = sorted(
         p for p in set(conv_leaves) & set(init_leaves)
         if conv_leaves[p] != init_leaves[p]
