@@ -93,6 +93,7 @@ class TextTokenizer:
     fixed-shape [B, max_length] ids + mask."""
 
     def __init__(self, hf_name: str, vocab_size: int, max_length: int):
+        self.hf_name = hf_name
         self.max_length = max_length
         self.hf = _try_hf_tokenizer(hf_name)
         self.fallback = HashWordTokenizer(
