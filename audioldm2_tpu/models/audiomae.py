@@ -24,7 +24,7 @@ LN_EPS = 1e-6
 
 
 def init_audiomae(key, cfg: AudioMAEConfig):
-    keys = iter(jax.random.split(key, 8 * cfg.depth + 8))
+    keys = iter(nn.split_keys(key, 8 * cfg.depth + 8))
     d = cfg.embed_dim
     n_patches = (cfg.img_size[0] // cfg.patch_size) * (cfg.img_size[1] // cfg.patch_size)
     blocks = []

@@ -93,7 +93,7 @@ def text_tower(cfg: CLAPConfig):
 
 
 def init_clap(key, cfg: CLAPConfig):
-    k1, k2, k3, k4, k5, k6, k7, k8, k9, k10 = jax.random.split(key, 10)
+    k1, k2, k3, k4, k5, k6, k7, k8, k9, k10 = nn.split_keys(key, 10)
     tcfg, twidth = text_tower(cfg)
     acfg, awidth = audio_tower(cfg)
     if cfg.tmodel == "transformer":

@@ -28,7 +28,7 @@ class CLIPTextConfig:
 
 
 def init_clip_text(key, cfg: CLIPTextConfig = CLIPTextConfig()):
-    keys = iter(jax.random.split(key, 8 * cfg.layers + 8))
+    keys = iter(nn.split_keys(key, 8 * cfg.layers + 8))
     d = cfg.width
     blocks = []
     for _ in range(cfg.layers):

@@ -22,7 +22,7 @@ def _bn(p, x, eps=1e-5):
 
 
 def _att_init(key, channels: int, inter: int):
-    k1, k2 = jax.random.split(key)
+    k1, k2 = nn.split_keys(key)
     def bn_init(c):
         return {
             "scale": np.ones((c,), np.float32), "bias": np.zeros((c,), np.float32),
@@ -44,7 +44,7 @@ def _att(p, x):
 
 def init_aff(key, channels: int = 64, r: int = 4, iterative: bool = False):
     inter = channels // r
-    ks = jax.random.split(key, 4)
+    ks = nn.split_keys(key, 4)
     p = {"local": _att_init(ks[0], channels, inter), "global": _att_init(ks[1], channels, inter)}
     if iterative:
         p["local2"] = _att_init(ks[2], channels, inter)

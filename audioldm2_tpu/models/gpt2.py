@@ -25,7 +25,7 @@ from audioldm2_tpu.ops import nn
 
 
 def init_gpt2(key, cfg: GPT2Config):
-    keys = iter(jax.random.split(key, 8 * cfg.n_layer + 4))
+    keys = iter(nn.split_keys(key, 8 * cfg.n_layer + 4))
     d = cfg.n_embd
     blocks = []
     for _ in range(cfg.n_layer):

@@ -121,7 +121,7 @@ def _rel_pos_index(window: int) -> np.ndarray:
 
 
 def init_htsat(key, cfg: HTSATConfig = BASE):
-    keys = iter(jax.random.split(key, 8 * sum(cfg.depths) + 16))
+    keys = iter(nn.split_keys(key, 8 * sum(cfg.depths) + 16))
     layers = []
     for i_layer, depth in enumerate(cfg.depths):
         dim = cfg.embed_dim * 2**i_layer

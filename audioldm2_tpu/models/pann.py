@@ -66,7 +66,7 @@ def _bn(p, x, eps=1e-5):
 
 
 def init_pann(key, cfg: PANNConfig = PANNConfig()):
-    keys = iter(jax.random.split(key, 32))
+    keys = iter(nn.split_keys(key, 32))
     blocks = []
     cin = 1
     for cout in cfg.channels:

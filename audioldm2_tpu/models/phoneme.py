@@ -26,7 +26,7 @@ from audioldm2_tpu.ops import nn
 
 def init_phoneme_encoder(key, cfg: PhonemeEncoderConfig):
     h = cfg.hidden_channels
-    keys = iter(jax.random.split(key, 8 * cfg.n_layers + 8))
+    keys = iter(nn.split_keys(key, 8 * cfg.n_layers + 8))
     layers = []
     for _ in range(cfg.n_layers):
         layers.append(

@@ -30,7 +30,7 @@ class RobertaConfig:
 
 
 def init_roberta(key, cfg: RobertaConfig):
-    keys = iter(jax.random.split(key, 16 * cfg.num_layers + 8))
+    keys = iter(nn.split_keys(key, 16 * cfg.num_layers + 8))
     d = cfg.hidden_size
 
     def emb(shape):

@@ -30,7 +30,7 @@ def init_sequence_gen(key, spec: ConditionerSpec):
     from audioldm2_tpu.models import conditioners
 
     sg = spec.sequence_gen
-    keys = jax.random.split(key, 4 + len(spec.nested))
+    keys = nn.split_keys(key, 4 + len(spec.nested))
     params: Dict = {
         "sos": nn.randn(keys[0], (32, 768), std=0.02),
         "eos": nn.randn(keys[1], (32, 768), std=0.02),
@@ -38,7 +38,7 @@ def init_sequence_gen(key, spec: ConditionerSpec):
         "input_linears": [],
         "cond": {},
     }
-    k_lin = jax.random.split(keys[3], len(sg.sequence_input_embed_dims))
+    k_lin = nn.split_keys(keys[3], len(sg.sequence_input_embed_dims))
     for kl, dim in zip(k_lin, sg.sequence_input_embed_dims):
         params["input_linears"].append(nn.linear_init(kl, dim, 768))
     for ns, nk in zip(spec.nested, keys[4:]):

@@ -49,7 +49,7 @@ def position_bias_table_index(q_len: int, k_len: int, cfg: FlanT5Config) -> np.n
 
 
 def init_t5_encoder(key, cfg: FlanT5Config):
-    keys = iter(jax.random.split(key, 8 * cfg.num_layers + 8))
+    keys = iter(nn.split_keys(key, 8 * cfg.num_layers + 8))
     inner = cfg.num_heads * cfg.d_kv
     blocks = []
     for i in range(cfg.num_layers):

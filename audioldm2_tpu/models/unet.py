@@ -34,7 +34,7 @@ LN_EPS = 1e-5
 
 
 def _resblock_init(key, cin, cout, emb_dim):
-    ks = jax.random.split(key, 4)
+    ks = nn.split_keys(key, 4)
     p = {
         "in_norm": nn.norm_init(cin),
         "in_conv": nn.conv_init(ks[0], 3, 3, cin, cout),
@@ -48,7 +48,7 @@ def _resblock_init(key, cin, cout, emb_dim):
 
 
 def _attn_init(key, query_dim, context_dim, inner_dim):
-    ks = jax.random.split(key, 4)
+    ks = nn.split_keys(key, 4)
     ctx = context_dim if context_dim is not None else query_dim
     return {
         "to_q": nn.linear_init(ks[0], query_dim, inner_dim, bias=False),
@@ -59,7 +59,7 @@ def _attn_init(key, query_dim, context_dim, inner_dim):
 
 
 def _st_block_init(key, dim, context_dim):
-    ks = jax.random.split(key, 4)
+    ks = nn.split_keys(key, 4)
     inner_ff = dim * 4
     return {
         "norm1": nn.norm_init(dim),
@@ -75,7 +75,7 @@ def _st_block_init(key, dim, context_dim):
 
 
 def _st_init(key, channels, depth, context_dim):
-    ks = jax.random.split(key, depth + 2)
+    ks = nn.split_keys(key, depth + 2)
     return {
         "norm": nn.norm_init(channels),
         "proj_in": nn.conv_init(ks[0], 1, 1, channels, channels),
@@ -87,7 +87,7 @@ def _st_init(key, channels, depth, context_dim):
 
 
 def _sts_init(key, ch, cfg: UNetConfig):
-    ks = jax.random.split(key, 1 + len(cfg.context_dims))
+    ks = nn.split_keys(key, 1 + len(cfg.context_dims))
     out = {"self_st": _st_init(ks[0], ch, cfg.transformer_depth, None)}
     out["cross_sts"] = [
         _st_init(ks[1 + i], ch, cfg.transformer_depth, cd)
@@ -97,7 +97,7 @@ def _sts_init(key, ch, cfg: UNetConfig):
 
 
 def init_unet(key, cfg: UNetConfig):
-    keys = iter(jax.random.split(key, 512))
+    keys = iter(nn.split_keys(key, 512))
     mc = cfg.model_channels
     emb_dim = cfg.emb_dim
     p = {
@@ -436,7 +436,7 @@ def init_legacy_attention_block(key, channels: int, num_heads: int = 1,
                                 num_head_channels: int = -1):
     if num_head_channels != -1:
         num_heads = channels // num_head_channels
-    k1, k2 = jax.random.split(key)
+    k1, k2 = nn.split_keys(key)
     return {
         "num_heads": num_heads,
         "norm": nn.norm_init(channels),
@@ -479,7 +479,7 @@ def apply_legacy_attention_block(p, x, new_order: bool = False):
 
 
 def init_encoder_unet(key, cfg: UNetConfig, pool: str = "adaptive"):
-    keys = iter(jax.random.split(key, 256))
+    keys = iter(nn.split_keys(key, 256))
     mc = cfg.model_channels
     emb_dim = cfg.time_embed_dim
     p = {

@@ -23,7 +23,7 @@ GN_EPS = 1e-6  # reference model.py:38-41
 
 
 def _resblock_init(key, cin, cout):
-    ks = jax.random.split(key, 3)
+    ks = nn.split_keys(key, 3)
     p = {
         "norm1": nn.norm_init(cin),
         "conv1": nn.conv_init(ks[0], 3, 3, cin, cout),
@@ -44,7 +44,7 @@ def _resblock(p, x):
 
 
 def _attnblock_init(key, c):
-    ks = jax.random.split(key, 4)
+    ks = nn.split_keys(key, 4)
     return {
         "norm": nn.norm_init(c),
         "q": nn.conv_init(ks[0], 1, 1, c, c),
@@ -93,7 +93,7 @@ def _upsample_ts4(p, x):
 
 def init_encoder(key, cfg: VAEConfig):
     ch, mults = cfg.ch, cfg.ch_mult
-    keys = iter(jax.random.split(key, 256))
+    keys = iter(nn.split_keys(key, 256))
     p = {"conv_in": nn.conv_init(next(keys), 3, 3, cfg.in_channels, ch)}
     in_mults = (1,) + tuple(mults)
     down = []
@@ -142,7 +142,7 @@ def apply_encoder(p, cfg: VAEConfig, x):
 
 def init_decoder(key, cfg: VAEConfig):
     ch, mults = cfg.ch, cfg.ch_mult
-    keys = iter(jax.random.split(key, 256))
+    keys = iter(nn.split_keys(key, 256))
     block_in = ch * mults[-1]
     p = {"conv_in": nn.conv_init(next(keys), 3, 3, cfg.z_channels, block_in)}
     p["mid"] = {
@@ -193,7 +193,7 @@ def apply_decoder(p, cfg: VAEConfig, z):
 
 
 def init_vae(key, cfg: VAEConfig):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4 = nn.split_keys(key, 4)
     z2 = 2 * cfg.z_channels
     return {
         "encoder": init_encoder(k1, cfg),

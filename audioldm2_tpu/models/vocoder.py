@@ -46,7 +46,7 @@ def _get_padding(kernel_size: int, dilation: int = 1) -> int:
 
 
 def init_vocoder(key, cfg: VocoderConfig):
-    keys = iter(jax.random.split(key, 512))
+    keys = iter(nn.split_keys(key, 512))
     ch0 = cfg.upsample_initial_channel
     p = {"conv_pre": nn.conv1d_init(next(keys), 7, cfg.num_mels, ch0)}
     ups, resblocks = [], []

@@ -48,6 +48,7 @@ def _np_rng(key) -> np.random.Generator:
 FAST_INIT = False
 _FAST_POOL = None
 _FAST_OFFSET = 0
+_FAST_KEY_SEQ = 0
 
 
 def _fast_fill(shape, scale: float) -> np.ndarray:
@@ -60,10 +61,40 @@ def _fast_fill(shape, scale: float) -> np.ndarray:
     n = int(np.prod(shape)) if shape else 1
     off = _FAST_OFFSET % pool.size
     _FAST_OFFSET = (_FAST_OFFSET + n + 9973) % (1 << 62)
-    reps = -(-(off + n) // pool.size)
-    flat = np.tile(pool, reps)[off : off + n] if reps > 1 else pool[off : off + n]
-    out = (flat * np.float32(scale)).reshape(shape)
-    return out
+    # Cyclic memcpy from the pool into ONE allocation + in-place scale.
+    # np.tile materialized ceil(n/pool)x8MB intermediates and a second
+    # multiply allocation — 75 s of the 130 s fast init for 916M params.
+    out = np.empty(n, np.float32)
+    first = min(n, pool.size - off)
+    out[:first] = pool[off : off + first]
+    filled = first
+    while filled < n:
+        c = min(pool.size, n - filled)
+        out[filled : filled + c] = pool[:c]
+        filled += c
+    if scale != 1.0:
+        out *= np.float32(scale)
+    return out.reshape(shape)
+
+
+def split_keys(key, num: int = 2):
+    """``jax.random.split`` for init-time key fan-out.
+
+    In FAST_INIT mode the returned "keys" are inert numpy uint32[2] rows
+    from a process-global counter: init values come from the shared pool
+    (:func:`_fast_fill`), never from these keys, and the ~1.1k eager
+    threefry splits of a large param tree cost ~45 s of host dispatch on a
+    single-core host (round-4 build profile). Runtime sampling code must
+    keep calling jax.random.split."""
+    if FAST_INIT:
+        global _FAST_KEY_SEQ
+        base = _FAST_KEY_SEQ
+        _FAST_KEY_SEQ += num
+        out = np.empty((num, 2), np.uint32)
+        out[:, 0] = np.arange(base, base + num, dtype=np.uint64).astype(np.uint32)
+        out[:, 1] = np.uint32(0x9E3779B9)
+        return out
+    return jax.random.split(key, num)
 
 
 def randn(key, shape, std: float = 1.0) -> np.ndarray:
@@ -92,7 +123,7 @@ def _kaiming_uniform(key, shape, fan_in):
 def conv_init(key, kh, kw, cin, cout, zero=False):
     if zero:
         return {"w": np.zeros((kh, kw, cin, cout), np.float32), "b": np.zeros((cout,), np.float32)}
-    k1, k2 = jax.random.split(key)
+    k1, k2 = split_keys(key)
     fan_in = kh * kw * cin
     return {
         "w": _kaiming_uniform(k1, (kh, kw, cin, cout), fan_in),
@@ -103,7 +134,7 @@ def conv_init(key, kh, kw, cin, cout, zero=False):
 def conv1d_init(key, k, cin, cout, zero=False):
     if zero:
         return {"w": np.zeros((k, cin, cout), np.float32), "b": np.zeros((cout,), np.float32)}
-    k1, k2 = jax.random.split(key)
+    k1, k2 = split_keys(key)
     fan_in = k * cin
     return {
         "w": _kaiming_uniform(k1, (k, cin, cout), fan_in),
@@ -117,7 +148,7 @@ def linear_init(key, cin, cout, zero=False, bias=True):
         if bias:
             p["b"] = np.zeros((cout,), np.float32)
         return p
-    k1, k2 = jax.random.split(key)
+    k1, k2 = split_keys(key)
     p = {"w": _kaiming_uniform(k1, (cin, cout), cin)}
     if bias:
         p["b"] = _kaiming_uniform(k2, (cout,), cin)

@@ -22,6 +22,7 @@ from audioldm2_tpu.models import conditioners
 from audioldm2_tpu.models import unet as unet_m
 from audioldm2_tpu.models import vae as vae_m
 from audioldm2_tpu.models import vocoder as voc_m
+from audioldm2_tpu.ops import nn as _ops_nn
 from audioldm2_tpu.ops.stft import KaldiFbank, MelSpectrogram
 from audioldm2_tpu.utils import text as text_utils
 from audioldm2_tpu.utils.audio_io import read_wav_file, save_wave, text_to_filename
@@ -192,9 +193,9 @@ def _init_tree(key, cfg: ModelConfig) -> Dict:
     jax.random values) and the eval_shape-based fast path."""
     import jax.numpy as jnp
 
-    k_unet, k_vae, k_voc, k_cond, k_rr = jax.random.split(key, 5)
+    k_unet, k_vae, k_voc, k_cond, k_rr = _ops_nn.split_keys(key, 5)
     cond_params = {}
-    cond_keys = jax.random.split(k_cond, max(len(cfg.conditioners), 1))
+    cond_keys = _ops_nn.split_keys(k_cond, max(len(cfg.conditioners), 1))
     for spec, ck in zip(cfg.conditioners, cond_keys):
         cond_params[spec.name] = conditioners.init_conditioner(ck, spec)
     params = {

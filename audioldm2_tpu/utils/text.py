@@ -29,12 +29,36 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def _hf_cache_has(name: str) -> bool:
+    """Cheap (no-import) check whether ``name`` could resolve locally:
+    either it is a directory path, or the HF hub cache has an entry."""
+    import os
+
+    if os.path.isdir(name):
+        return True
+    hub = os.environ.get("HF_HUB_CACHE") or os.path.join(
+        os.environ.get(
+            "HF_HOME", os.path.join(os.path.expanduser("~"), ".cache", "huggingface")
+        ),
+        "hub",
+    )
+    return os.path.isdir(os.path.join(hub, "models--" + name.replace("/", "--")))
+
+
 def _try_hf_tokenizer(name: str):
     try:
         import os
 
         os.environ.setdefault("HF_HUB_OFFLINE", "1")
         os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+        # `import transformers` drags in torch (+56 s on this single-core
+        # host). When we are offline AND the hub cache has no entry, the
+        # load can only fail — skip the import entirely.
+        offline = os.environ.get("HF_HUB_OFFLINE", "").strip().lower() not in (
+            "", "0", "false", "off",
+        )
+        if offline and not _hf_cache_has(name):
+            return None
         from transformers import AutoTokenizer
 
         return AutoTokenizer.from_pretrained(name)
