@@ -358,6 +358,13 @@ def gn_silu_conv(p_norm, p_conv, x, groups: int = 32, eps: float = 1e-5):
                 x, p_norm["scale"], p_norm["bias"], w.astype(x.dtype),
                 p_conv["b"], groups, eps,
             )
+        if resblock_pallas.supported_tiled(x, w, groups):
+            # shapes whose full working set busts the scoped-vmem limit
+            # stream T in halo-padded tiles (e.g. large-1150k's ds1 ladder)
+            return _gn_silu_conv_fused_tiled(
+                x, p_norm["scale"], p_norm["bias"], w.astype(x.dtype),
+                p_conv["b"], groups, eps,
+            )
     return conv2d(p_conv, group_norm_silu(p_norm, x, groups, eps))
 
 
@@ -383,6 +390,25 @@ def _gn_silu_conv_bwd(groups, eps, res, g):
 
 
 _gn_silu_conv_fused.defvjp(_gn_silu_conv_fwd, _gn_silu_conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gn_silu_conv_fused_tiled(x, scale, bias, w, b, groups, eps):
+    from audioldm2_tpu.ops import resblock_pallas
+
+    return resblock_pallas.gn_silu_conv3x3_tiled(
+        x, scale, bias, w, b, groups=groups, eps=eps
+    )
+
+
+def _gn_silu_conv_tiled_fwd(x, scale, bias, w, b, groups, eps):
+    return (
+        _gn_silu_conv_fused_tiled(x, scale, bias, w, b, groups, eps),
+        (x, scale, bias, w, b),
+    )
+
+
+_gn_silu_conv_fused_tiled.defvjp(_gn_silu_conv_tiled_fwd, _gn_silu_conv_bwd)
 
 
 def group_norm_silu(p, x, groups: int = 32, eps: float = 1e-5):

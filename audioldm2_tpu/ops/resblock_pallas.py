@@ -76,17 +76,20 @@ def _kernel_q(x_ref, gn_scale_ref, gn_bias_ref, wq_ref, ws_ref, b_ref, o_ref,
                   ws_ref[...], b_ref[...], o_ref, s, cin, cout, F)
 
 
-def _conv9_scoped(y, tap_fn, out_scale, bias, o_ref, s, cin, cout, F):
-    # --- 3x3 SAME conv as 9 shifted matmuls ---
-    # row index = t * F + f; a (dt, df) tap reads row (t+dt)*F + (f+df).
-    # Shifts are VALUE-level concatenates, NOT scratch-ref partial stores:
-    # Mosaic mis-lowers sublane-misaligned `scr[:s-k,:] = val[k:]` stores
-    # when the array is exactly one lane-tile wide (cin=128) — silently
-    # wrong results (err ~5 at output std ~1; round-4 on-chip sweep, every
-    # T/F at cin=128 bad, cin>=256 fine, interpret mode fine). The value
-    # form lowers correctly at every shipped shape and lets Mosaic keep its
-    # own liveness (the VMEM budget in `supported` already assumes two
-    # [s, cin] live copies + the f32 accumulator).
+def _conv9(y, tap_fn, cout: int, F: int):
+    """3x3 SAME conv over flattened rows as 9 shifted matmuls; returns the
+    f32 accumulator [s, cout].
+
+    Row index = t * F + f; a (dt, df) tap reads row (t+dt)*F + (f+df).
+    Shifts are VALUE-level concatenates, NOT scratch-ref partial stores:
+    Mosaic mis-lowers sublane-misaligned `scr[:s-k,:] = val[k:]` stores
+    when the array is exactly one lane-tile wide (cin=128) — silently
+    wrong results (err ~5 at output std ~1; round-4 on-chip sweep, every
+    T/F at cin=128 bad, cin>=256 fine, interpret mode fine). The value
+    form lowers correctly at every shipped shape and lets Mosaic keep its
+    own liveness (the VMEM budgets in `supported`/`_tile_bt` already
+    assume two [s, cin] live copies + the f32 accumulator)."""
+    s, cin = y.shape
     row_f = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0) % F
 
     acc = jnp.zeros((s, cout), jnp.float32)
@@ -113,6 +116,11 @@ def _conv9_scoped(y, tap_fn, out_scale, bias, o_ref, s, cin, cout, F):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+    return acc
+
+
+def _conv9_scoped(y, tap_fn, out_scale, bias, o_ref, s, cin, cout, F):
+    acc = _conv9(y, tap_fn, cout, F)
     if out_scale is not None:
         acc = acc * out_scale
     o_ref[0] = (acc + bias).astype(o_ref.dtype)
@@ -187,3 +195,121 @@ def supported(x, w, groups: int) -> bool:
     # the real limit (measured).
     budget = (s * cin * 4) * 2 + s * cout * 4 + int(np.prod(w.shape)) * w.dtype.itemsize
     return budget <= 10 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# T-tiled variant: shapes whose full [T*F, C] working set busts the scoped-
+# vmem limit (e.g. the large-1150k ds1 ladder, S=4096 / cin=cout=256) stream
+# T in halo-padded tiles. GroupNorm stats span the WHOLE sample, so they are
+# folded outside the kernel into one per-(batch, channel) affine
+# (a = rstd * gamma, c = beta - mean * a, computed by one fused XLA reduce
+# over x); the kernel applies y = silu(x * a + c) per tile and convolves
+# with one t-row of halo on each side. Global t-edges emulate SAME zero
+# padding by zeroing the (post-activation) halo rows of the first/last tile.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_tiled(xc_ref, hp_ref, hn_ref, a_ref, c_ref, w_ref, b_ref, o_ref,
+                  *, F: int, nt: int):
+    cout = o_ref.shape[-1]
+    a = a_ref[0]  # [1, C] f32 (this batch's folded GN affine)
+    c = c_ref[0]
+    wd = w_ref.dtype
+
+    def act(v):  # normalize + SiLU, f32 math, -> weight dtype
+        y32 = v.astype(jnp.float32) * a + c
+        return (y32 * jax.nn.sigmoid(y32)).astype(wd)
+
+    j = pl.program_id(1)
+    # Halo rows are RAW x rows; activation is applied before the conv sees
+    # them. At the global edges the conv must see zeros instead (SAME
+    # padding happens after GN+SiLU in the reference composition).
+    yp = act(hp_ref[0, 0]) * (j > 0).astype(wd)
+    yn = act(hn_ref[0, 0]) * (j < nt - 1).astype(wd)
+    ym = act(xc_ref[0, 0])
+    y = jnp.concatenate([yp, ym, yn], axis=0)  # [(bt+2)*F, C]
+
+    acc = _conv9(y, lambda dt, df: w_ref[dt + 1, df + 1], cout, F)
+    o_ref[0, 0] = (acc[F:-F] + b_ref[...]).astype(o_ref.dtype)
+
+
+def _tile_bt(T: int, F: int, cin: int, cout: int, w_bytes: int) -> int:
+    """Largest divisor-of-T tile size whose working set fits the budget
+    (pessimistic: f32 tile + two live activation copies + f32 accumulator
+    over the halo-extended rows). 0 when even bt=1 does not fit."""
+    best = 0
+    for bt in range(1, T + 1):
+        if T % bt:
+            continue
+        ext = (bt + 2) * F
+        budget = (
+            ext * cin * 4          # x32 normalize intermediate
+            + 2 * ext * cin * 2    # y + one shifted copy (weight dtype)
+            + ext * cout * 4       # f32 accumulator
+            + w_bytes
+        )
+        if budget <= 10 * 1024 * 1024:
+            best = bt
+    return best
+
+
+def supported_tiled(x, w, groups: int) -> bool:
+    bsz, T, F, cin = x.shape
+    cout = w.shape[-1]
+    if cin % groups or cin % 128 or cout % 128:
+        return False
+    w_bytes = int(np.prod(w.shape)) * w.dtype.itemsize
+    return _tile_bt(T, F, cin, cout, w_bytes) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
+def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
+                          eps: float = 1e-5, interpret: bool = False):
+    """T-tiled fused GN+SiLU+conv3x3 for shapes `supported` rejects.
+    x: [B, T, F, Cin]; w: [3, 3, Cin, Cout]; returns [B, T, F, Cout]."""
+    bsz, T, F, cin = x.shape
+    cout = w.shape[-1]
+    bt = _tile_bt(T, F, cin, cout, int(np.prod(w.shape)) * w.dtype.itemsize)
+    nt = T // bt
+
+    # GroupNorm stats folded to one per-(B, C) affine — one fused XLA
+    # reduce over x in f32 (a single extra read of x; the unfused chain
+    # reads it at least twice).
+    cg = cin // groups
+    x32 = x.astype(jnp.float32).reshape(bsz, T * F, groups, cg)
+    mean_g = jnp.mean(x32, axis=(1, 3))                      # [B, G]
+    var_g = jnp.mean(x32 * x32, axis=(1, 3)) - mean_g**2     # [B, G]
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean = jnp.repeat(mean_g, cg, axis=1)                    # [B, C]
+    rstd = jnp.repeat(rstd_g, cg, axis=1)
+    a = rstd * gn_scale.astype(jnp.float32)[None, :]
+    c = gn_bias.astype(jnp.float32)[None, :] - mean * a
+
+    # Halo rows: tile j needs t-rows j*bt-1 and (j+1)*bt (clamped at the
+    # edges; the kernel zeroes the clamped rows after activation).
+    xr = x.reshape(bsz, T, F, cin)
+    idx_prev = np.maximum(np.arange(nt) * bt - 1, 0)
+    idx_next = np.minimum((np.arange(nt) + 1) * bt, T - 1)
+    hp = jnp.take(xr, idx_prev, axis=1)  # [B, nt, F, C]
+    hn = jnp.take(xr, idx_next, axis=1)
+    xc = x.reshape(bsz, nt, bt * F, cin)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_tiled, F=F, nt=nt),
+        out_shape=jax.ShapeDtypeStruct((bsz, nt, bt * F, cout), x.dtype),
+        grid=(bsz, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, bt * F, cin), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, F, cin), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, F, cin), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, cin), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, cin), lambda i, j: (i, 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bt * F, cout), lambda i, j: (i, j, 0, 0)
+        ),
+        interpret=interpret,
+    )(xc, hp, hn, a, c, w, b.astype(jnp.float32))
+    return out.reshape(bsz, T, F, cout)

@@ -411,3 +411,49 @@ def test_quantize_resblock_convs_transform(rng):
         np.asarray(quant.dequantize_conv(q["in_conv"])) - np.asarray(p["in_conv"]["w"])
     ).max() / np.abs(np.asarray(p["in_conv"]["w"])).max()
     assert rel < 1 / 200
+
+
+def test_tiled_resblock_kernel_interpret(rng):
+    """T-tiled GN+SiLU+conv (halo tiles, folded GN affine) == jnp
+    composition, including the global t-edge zero-padding semantics."""
+    from audioldm2_tpu.ops import resblock_pallas as rp
+
+    B, T, F, Cin, Cout = 2, 8, 4, 128, 128
+    x = jnp.asarray(rng.standard_normal((B, T, F, Cin)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(Cin), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(Cin), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(Cout), jnp.float32)
+
+    out = rp.gn_silu_conv3x3_tiled(
+        x, scale, bias, w, b, groups=32, interpret=True
+    )
+    want = nn.conv2d(
+        {"w": w, "b": b},
+        nn.silu(nn.group_norm({"scale": scale, "bias": bias}, x)),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_tiled_resblock_multitile_interpret(rng, monkeypatch):
+    """Force a 4-tile split (bt=2) so halo exchange and the global t-edge
+    zeroing are actually exercised, and compare to the jnp composition."""
+    from audioldm2_tpu.ops import resblock_pallas as rp
+
+    monkeypatch.setattr(rp, "_tile_bt", lambda *a, **k: 2)
+
+    B, T, F, Cin, Cout = 1, 8, 4, 128, 256
+    x = jnp.asarray(rng.standard_normal((B, T, F, Cin)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(Cin), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(Cin), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(Cout), jnp.float32)
+
+    tiled = rp.gn_silu_conv3x3_tiled(x, scale, bias, w, b, groups=32, interpret=True)
+    want = nn.conv2d(
+        {"w": w, "b": b},
+        nn.silu(nn.group_norm({"scale": scale, "bias": bias}, x)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(want), atol=2e-5, rtol=1e-4
+    )

@@ -225,18 +225,29 @@ def test_resblock_kernel_compiles_at_all_dispatched_shapes(shapes):
     from audioldm2_tpu.ops import resblock_pallas as rp
     from audioldm2_tpu.ops import quant
 
-    ran = ran_q = 0
+    ran = ran_q = ran_tiled = 0
     for (xshape, wshape, groups, dtype) in sorted(shapes["resblock"]):
         if len(wshape) != 4 or wshape[0] != 3:
             continue
         x = jax.random.normal(_key(1), xshape, jnp.bfloat16)
         w = jax.random.normal(_key(2), wshape, jnp.bfloat16) * 0.05
-        if not rp.supported(x, w, groups):
-            continue
         cout = wshape[-1]
         scale = jnp.ones((xshape[-1],), jnp.float32)
         bias = jnp.zeros((xshape[-1],), jnp.float32)
         b = jnp.zeros((cout,), jnp.float32)
+        if not rp.supported(x, w, groups):
+            # shapes over the scoped-vmem budget dispatch to the T-tiled
+            # variant instead — compile + numerics-check that path here
+            if rp.supported_tiled(x, w, groups):
+                out = jax.block_until_ready(
+                    rp.gn_silu_conv3x3_tiled(x, scale, bias, w, b, groups=groups)
+                )
+                want = _xla_gn_silu_conv(x, scale, bias, w, b, groups)
+                err = float(jnp.max(jnp.abs(
+                    out.astype(jnp.float32) - want.astype(jnp.float32))))
+                assert err < 0.05, ("tiled", xshape, err)
+                ran_tiled += 1
+            continue
         out = jax.block_until_ready(
             rp.gn_silu_conv3x3(x, scale, bias, w, b, groups=groups)
         )
@@ -262,6 +273,7 @@ def test_resblock_kernel_compiles_at_all_dispatched_shapes(shapes):
             ran_q += 1
     assert ran >= 6, f"only {ran} resblock shapes exercised"
     assert ran_q >= 6, f"only {ran_q} int8 resblock shapes exercised"
+    assert ran_tiled >= 1, "no dispatched shape reached the tiled kernel"
 
 
 # ---------------------------------------------------------------------------
