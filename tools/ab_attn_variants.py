@@ -133,6 +133,84 @@ def v6bd_attention(q, k, v, scale: float, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# v7: VPU-pass-minimized softmax
+#
+# v6bd proved the kernel is NOT MXU-issue-bound: 4x the matmul work at full
+# contraction depth was a wall-clock wash. The remaining per-head cost is
+# the THREE full-tile VPU passes over the [bq, T] f32 logits (max-reduce,
+# exp, sum-reduce). v7 removes two of them:
+#   * no max subtraction — exp2 of the scaled logits directly, clamped to
+#     +-100 so the f32 exp2 can neither overflow (2^100) nor flush the
+#     whole row to zero (underflow needs logits < -126 AFTER clamping,
+#     impossible). For |logits| < 100 this is EXACT softmax (the division
+#     normalizes; max-subtraction only guards the exponent range).
+#   * the row sum rides the MXU: s = P @ ones[T, 8] column 0, issued as a
+#     matmul in the MXU's idle slack instead of a VPU reduce pass.
+# ---------------------------------------------------------------------------
+
+
+def _v7_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, head_dim: int):
+    q = q_ref[0]  # [bq, 128]
+    k = k_ref[0]  # [T, 128]
+    v = v_ref[0]
+    d = head_dim
+    t = k.shape[0]
+    s2 = scale * _LOG2E
+    ones = jnp.ones((t, 8), jnp.bfloat16)
+    outs = []
+    for i in range(q.shape[-1] // d):
+        qh = q[:, i * d : (i + 1) * d]
+        kh = k[:, i * d : (i + 1) * d]
+        vh = v[:, i * d : (i + 1) * d]
+        logits = (
+            jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * s2
+        )
+        p = jnp.exp2(jnp.clip(logits, -100.0, 100.0))  # one fused VPU pass
+        pb = p.astype(vh.dtype)
+        s = jax.lax.dot_general(
+            pb, ones,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :1]  # [bq, 1] row sums on the MXU
+        acc = jax.lax.dot_general(
+            pb, vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((acc / s).astype(o_ref.dtype))
+    o_ref[0] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def v7_attention(q, k, v, scale: float, interpret: bool = False):
+    from audioldm2_tpu.ops import attention_pallas as ap
+
+    b, t, h, d = q.shape
+    c = h * d
+    q2, k2, v2 = (x.reshape(b, t, c) for x in (q, k, v))
+    bq = ap._block_q(t, d)
+    grid = (b, c // _LANE, t // bq)
+    kv_spec = pl.BlockSpec((1, t, _LANE), lambda i, j, _: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, bq, _LANE), lambda i, j, qi: (i, qi, j),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_v7_kernel, scale=scale, head_dim=d),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+    )(q2, k2, v2)
+    return out.reshape(b, t, h, d)
+
+
+# ---------------------------------------------------------------------------
 # harness
 # ---------------------------------------------------------------------------
 
@@ -191,6 +269,10 @@ def check_interpret():
         err = float(jnp.max(jnp.abs(got - want)))
         print(f"v6bd ({b},{t},{h},{d}): max|d| = {err:.2e}")
         assert err < 5e-3, err
+        got7 = v7_attention(q, k, v, scale, interpret=True)
+        err7 = float(jnp.max(jnp.abs(got7 - want)))
+        print(f"v7   ({b},{t},{h},{d}): max|d| = {err7:.2e}")
+        assert err7 < 5e-3, err7
     print("interpret numerics OK")
 
 
@@ -207,8 +289,8 @@ def main():
     from audioldm2_tpu.ops import attention_pallas
 
     print(f"device: {jax.devices()[0].device_kind}")
-    print(f"{'shape':>8} {'B':>3} {'T':>5}  {'xla':>8} {'v5':>8} {'v6bd':>8} "
-          f"{'v6bd MFU':>9} {'max|d|':>9}")
+    print(f"{'shape':>8} {'B':>3} {'T':>5} {'var':>5}  {'xla':>8} {'v5':>8} "
+          f"{'vX':>8} {'vX MFU':>9} {'max|d|':>9}")
 
     for label, b, t, h, d in SHAPES:
         kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -237,17 +319,21 @@ def main():
         def v6(q, k, v):
             return v6bd_attention(q, k, v, scale)
 
-        try:
-            t_v6, o_v6 = scan_bench(v6, q, k, v, args.steps)
-            err = float(jnp.max(jnp.abs(
-                o_v5.astype(jnp.float32) - o_v6.astype(jnp.float32))))
-            gflop = 4 * b * h * t * t * d / 1e9  # naive accounting
-            mfu = gflop / t_v6 / 197e3 * 1e3
-            print(f"{label:>8} {b:>3} {t:>5}  {t_xla:8.4f} {t_v5:8.4f} "
-                  f"{t_v6:8.4f} {mfu:9.1%} {err:9.1e}")
-        except Exception as e:
-            print(f"{label:>8} {b:>3} {t:>5}  {t_xla:8.4f} {t_v5:8.4f} "
-                  f"FAIL: {type(e).__name__}: {e}")
+        def v7(q, k, v):
+            return v7_attention(q, k, v, scale)
+
+        for name, fn in (("v6bd", v6), ("v7", v7)):
+            try:
+                t_vx, o_vx = scan_bench(fn, q, k, v, args.steps)
+                err = float(jnp.max(jnp.abs(
+                    o_v5.astype(jnp.float32) - o_vx.astype(jnp.float32))))
+                gflop = 4 * b * h * t * t * d / 1e9  # naive accounting
+                mfu = gflop / t_vx / 197e3 * 1e3
+                print(f"{label:>8} {b:>3} {t:>5} {name:>5}  {t_xla:8.4f} "
+                      f"{t_v5:8.4f} {t_vx:8.4f} {mfu:9.1%} {err:9.1e}")
+            except Exception as e:
+                print(f"{label:>8} {b:>3} {t:>5} {name:>5}  {t_xla:8.4f} "
+                      f"{t_v5:8.4f} FAIL: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
