@@ -159,11 +159,25 @@ def init_unet(key, cfg: UNetConfig):
 
 
 def _resblock(p, x, emb):
-    h = nn.gn_silu_conv(p["in_norm"], p["in_conv"], x, eps=GN_EPS_RES)
+    """x: [B, T, F, C] — or a (h, skip) tuple for the decoder's
+    channel-concat input (reference openaimodel.py:818), which dispatches
+    to concat-free fused paths so the step's widest activations never
+    round-trip HBM just to be re-read."""
+    if isinstance(x, tuple):
+        x1, x2 = x
+        h = nn.gn_silu_conv_cat(p["in_norm"], p["in_conv"], x1, x2,
+                                eps=GN_EPS_RES)
+        # decoder cin != cout at every shipped geometry (cin includes the
+        # skip width), so the 1x1 skip conv is present; split it over the
+        # parts. Identity fallback kept for completeness.
+        skip = (nn.conv1x1_cat(p["skip"], x1, x2) if "skip" in p
+                else jnp.concatenate([x1, x2], axis=-1))
+    else:
+        h = nn.gn_silu_conv(p["in_norm"], p["in_conv"], x, eps=GN_EPS_RES)
+        skip = nn.conv2d(p["skip"], x) if "skip" in p else x
     emb_out = nn.linear(p["emb"], nn.silu(emb))
     h = h + emb_out[:, None, None, :]
     h = nn.gn_silu_conv(p["out_norm"], p["out_conv"], h, eps=GN_EPS_RES)
-    skip = nn.conv2d(p["skip"], x) if "skip" in p else x
     return skip + h
 
 
@@ -413,8 +427,7 @@ def apply_unet(
     h = _resblock(mid["res2"], h, emb)
 
     for blk in params["output_blocks"]:
-        h = jnp.concatenate([h, hs.pop()], axis=-1)
-        h = _resblock(blk["res"], h, emb)
+        h = _resblock(blk["res"], (h, hs.pop()), emb)
         if "self_st" in blk:
             h = _run_sts(blk, h, context_list, context_mask_list, cfg, kv_iter)
         if "upsample" in blk:

@@ -368,6 +368,47 @@ def gn_silu_conv(p_norm, p_conv, x, groups: int = 32, eps: float = 1e-5):
     return conv2d(p_conv, group_norm_silu(p_norm, x, groups, eps))
 
 
+def gn_silu_conv_cat(p_norm, p_conv, x1, x2, groups: int = 32,
+                     eps: float = 1e-5):
+    """gn_silu_conv over the virtual channel-concat [x1 ; x2] — the UNet
+    decoder's skip pattern (reference openaimodel.py:818). The fused kernel
+    consumes the parts separately so the widest activations of the step
+    never materialize in HBM; all fallbacks concatenate explicitly."""
+    if "w" in p_conv:
+        w = p_conv["w"]
+        if (
+            _pallas_resblock_enabled()
+            and x1.ndim == 4
+            and w.shape[0] == 3
+            and w.shape[1] == 3
+        ):
+            from audioldm2_tpu.ops import resblock_pallas
+
+            if resblock_pallas.supported_cat(x1, x2, w, groups):
+                return _gn_silu_conv_cat_fused(
+                    x1, x2, p_norm["scale"], p_norm["bias"],
+                    w.astype(x1.dtype), p_conv["b"], groups, eps,
+                )
+    return gn_silu_conv(
+        p_norm, p_conv, jnp.concatenate([x1, x2], axis=-1), groups, eps
+    )
+
+
+def conv1x1_cat(p, x1, x2):
+    """1x1 conv over the virtual channel-concat [x1 ; x2]: two einsums
+    against the row-slices of the [1, 1, C1+C2, Cout] weight (XLA fuses
+    both into the surrounding graph; no concat materialization)."""
+    w = p["w"][0, 0]  # [C1+C2, Cout]
+    c1 = x1.shape[-1]
+    y = jnp.einsum("...i,io->...o", x1, w[:c1],
+                   preferred_element_type=jnp.float32)
+    y = y + jnp.einsum("...i,io->...o", x2, w[c1:],
+                       preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"]
+    return y.astype(x1.dtype)
+
+
 def _gn_silu_conv_ref(x, scale, bias, w, b, groups, eps):
     return conv2d({"w": w, "b": b}, silu(group_norm({"scale": scale, "bias": bias}, x, groups, eps)))
 
@@ -409,6 +450,37 @@ def _gn_silu_conv_tiled_fwd(x, scale, bias, w, b, groups, eps):
 
 
 _gn_silu_conv_fused_tiled.defvjp(_gn_silu_conv_tiled_fwd, _gn_silu_conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _gn_silu_conv_cat_fused(x1, x2, scale, bias, w, b, groups, eps):
+    from audioldm2_tpu.ops import resblock_pallas
+
+    return resblock_pallas.gn_silu_conv3x3_cat(
+        x1, x2, scale, bias, w, b, groups=groups, eps=eps
+    )
+
+
+def _gn_silu_conv_cat_fwd(x1, x2, scale, bias, w, b, groups, eps):
+    return (
+        _gn_silu_conv_cat_fused(x1, x2, scale, bias, w, b, groups, eps),
+        (x1, x2, scale, bias, w, b),
+    )
+
+
+def _gn_silu_conv_cat_bwd(groups, eps, res, g):
+    x1, x2, scale, bias, w, b = res
+
+    def ref(x1, x2, scale, bias, w, b):
+        return _gn_silu_conv_ref(
+            jnp.concatenate([x1, x2], axis=-1), scale, bias, w, b, groups, eps
+        )
+
+    _, vjp = jax.vjp(ref, x1, x2, scale, bias, w, b)
+    return vjp(g)
+
+
+_gn_silu_conv_cat_fused.defvjp(_gn_silu_conv_cat_fwd, _gn_silu_conv_cat_bwd)
 
 
 def group_norm_silu(p, x, groups: int = 32, eps: float = 1e-5):

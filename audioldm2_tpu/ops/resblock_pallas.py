@@ -198,6 +198,113 @@ def supported(x, w, groups: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Concat-input variant: the UNet decoder feeds every ResBlock
+# jnp.concatenate([h, skip], -1) (reference openaimodel.py:818). With the
+# fused kernel consuming that concat as ONE operand, XLA must materialize
+# the widest activations of the step in HBM just to re-read them. This
+# variant takes the two parts as separate refs: GroupNorm stats come from
+# both parts' column sums (groups may straddle the split), each part is
+# normalized with its slice of the folded stats, and every conv tap issues
+# two matmuls against the matching row-slices of the weight.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_cat(x1_ref, x2_ref, gn_scale_ref, gn_bias_ref, w_ref, b_ref,
+                o_ref, *, groups: int, eps: float, F: int):
+    x1 = x1_ref[0]  # [S, C1]
+    x2 = x2_ref[0]  # [S, C2]
+    s, c1 = x1.shape
+    c2 = x2.shape[-1]
+    cin = c1 + c2
+    cg = cin // groups
+    cout = o_ref.shape[-1]
+    wd = w_ref.dtype
+
+    # group stats over the virtual concat: per-column sums of each part,
+    # concatenated into one [1, cin] row, then the usual group slices
+    x1_32 = x1.astype(jnp.float32)
+    x2_32 = x2.astype(jnp.float32)
+    colsum = jnp.concatenate(
+        [jnp.sum(x1_32, axis=0, keepdims=True),
+         jnp.sum(x2_32, axis=0, keepdims=True)], axis=1)
+    colsq = jnp.concatenate(
+        [jnp.sum(x1_32 * x1_32, axis=0, keepdims=True),
+         jnp.sum(x2_32 * x2_32, axis=0, keepdims=True)], axis=1)
+    n = float(s * cg)
+    mean_parts, rstd_parts = [], []
+    for g in range(groups):
+        gsum = jnp.sum(colsum[:, g * cg : (g + 1) * cg])
+        gsq = jnp.sum(colsq[:, g * cg : (g + 1) * cg])
+        mean = gsum / n
+        var = gsq / n - mean * mean
+        mean_parts.append(jnp.full((1, cg), mean, jnp.float32))
+        rstd_parts.append(jnp.full((1, cg), jax.lax.rsqrt(var + eps), jnp.float32))
+    mean_c = jnp.concatenate(mean_parts, axis=1)  # [1, cin]
+    rstd_c = jnp.concatenate(rstd_parts, axis=1)
+    gn_scale = gn_scale_ref[...]
+    gn_bias = gn_bias_ref[...]
+
+    def norm_silu(x32, lo, hi):
+        y = (x32 - mean_c[:, lo:hi]) * rstd_c[:, lo:hi] * gn_scale[lo:hi] \
+            + gn_bias[lo:hi]
+        return (y * jax.nn.sigmoid(y)).astype(wd)
+
+    y1 = norm_silu(x1_32, 0, c1)
+    y2 = norm_silu(x2_32, c1, cin)
+
+    acc = _conv9(y1, lambda dt, df: w_ref[dt + 1, df + 1][:c1], cout, F)
+    acc = acc + _conv9(y2, lambda dt, df: w_ref[dt + 1, df + 1][c1:], cout, F)
+    o_ref[0] = (acc + b_ref[...]).astype(o_ref.dtype)
+
+
+def supported_cat(x1, x2, w, groups: int) -> bool:
+    bsz, T, F, c1 = x1.shape
+    c2 = x2.shape[-1]
+    cin = c1 + c2
+    cout = w.shape[-1]
+    if x2.shape[:3] != x1.shape[:3]:
+        return False
+    if cin % groups or c1 % 128 or c2 % 128 or cout % 128:
+        return False
+    s = T * F
+    # same pessimistic model as `supported` at the concat width
+    budget = (s * cin * 4) * 2 + s * cout * 4 + int(np.prod(w.shape)) * w.dtype.itemsize
+    return budget <= 10 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
+def gn_silu_conv3x3_cat(x1, x2, gn_scale, gn_bias, w, b, groups: int = 32,
+                        eps: float = 1e-5, interpret: bool = False):
+    """Fused GN+SiLU+conv3x3 over the virtual concat [x1 ; x2] along
+    channels — numerically identical to gn_silu_conv3x3(concat(x1, x2))
+    without materializing the concat. x1: [B, T, F, C1], x2: [B, T, F, C2];
+    w: [3, 3, C1+C2, Cout]."""
+    bsz, T, F, c1 = x1.shape
+    c2 = x2.shape[-1]
+    cout = w.shape[-1]
+    s = T * F
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_cat, groups=groups, eps=eps, F=F),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, cout), x1.dtype),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, s, c1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, c2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c1 + c2,), lambda i: (0,)),
+            pl.BlockSpec((c1 + c2,), lambda i: (0,)),
+            pl.BlockSpec((3, 3, c1 + c2, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, s, cout), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(x1.reshape(bsz, s, c1), x2.reshape(bsz, s, c2),
+      gn_scale.astype(jnp.float32), gn_bias.astype(jnp.float32), w,
+      b.astype(jnp.float32))
+    return out.reshape(bsz, T, F, cout)
+
+
+# ---------------------------------------------------------------------------
 # T-tiled variant: shapes whose full [T*F, C] working set busts the scoped-
 # vmem limit (e.g. the large-1150k ds1 ladder, S=4096 / cin=cout=256) stream
 # T in halo-padded tiles. GroupNorm stats span the WHOLE sample, so they are

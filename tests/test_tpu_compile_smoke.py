@@ -79,9 +79,11 @@ def _collect_shapes() -> Dict[str, Set[tuple]]:
 
     rec: Dict[str, Set[tuple]] = {
         "attention": set(), "resblock": set(), "ln": set(), "geglu": set(),
+        "resblock_cat": set(),
     }
 
-    orig = (nn.attention, nn.gn_silu_conv, nn.ln_linear, nn.geglu_ff_out)
+    orig = (nn.attention, nn.gn_silu_conv, nn.ln_linear, nn.geglu_ff_out,
+            nn.gn_silu_conv_cat)
 
     def attention(q, k, v, mask=None, bias=None, scale=None):
         rec["attention"].add(
@@ -104,8 +106,16 @@ def _collect_shapes() -> Dict[str, Set[tuple]]:
         rec["geglu"].add((h.shape, w.shape, str(h.dtype)))
         return orig[3](p_lin, h, residual)
 
+    def gn_silu_conv_cat(p_norm, p_conv, x1, x2, groups=32, eps=1e-5):
+        w = p_conv.get("w", p_conv.get("wq"))
+        rec["resblock_cat"].add(
+            (x1.shape, x2.shape, w.shape, groups, str(x1.dtype))
+        )
+        return orig[4](p_norm, p_conv, x1, x2, groups=groups, eps=eps)
+
     nn.attention, nn.gn_silu_conv = attention, gn_silu_conv
     nn.ln_linear, nn.geglu_ff_out = ln_linear, geglu_ff_out
+    nn.gn_silu_conv_cat = gn_silu_conv_cat
     try:
         for label, ctx_dims, depth, film, in_ch, lf in _GEOMETRIES:
             cfg = UNetConfig(
@@ -146,6 +156,7 @@ def _collect_shapes() -> Dict[str, Set[tuple]]:
     finally:
         nn.attention, nn.gn_silu_conv = orig[0], orig[1]
         nn.ln_linear, nn.geglu_ff_out = orig[2], orig[3]
+        nn.gn_silu_conv_cat = orig[4]
     return rec
 
 
@@ -154,6 +165,7 @@ def shapes() -> Dict[str, Set[tuple]]:
     rec = _collect_shapes()
     # sanity: the trace actually exercised the ladder
     assert rec["attention"] and rec["resblock"] and rec["ln"] and rec["geglu"]
+    assert rec["resblock_cat"], "decoder concat path not traced"
     return rec
 
 
@@ -314,3 +326,35 @@ def test_lnmm_kernels_compile_at_all_dispatched_shapes(shapes):
         assert out.shape == res.shape
         ran += 1
     assert ran >= 4, f"only {ran} geglu shapes exercised"
+
+
+def test_cat_resblock_kernel_compiles_at_all_dispatched_shapes(shapes):
+    from audioldm2_tpu.ops import resblock_pallas as rp
+
+    ran = 0
+    for (x1shape, x2shape, wshape, groups, dtype) in sorted(
+        shapes["resblock_cat"]
+    ):
+        if len(wshape) != 4 or wshape[0] != 3:
+            continue
+        x1 = jax.random.normal(_key(1), x1shape, jnp.bfloat16)
+        x2 = jax.random.normal(_key(2), x2shape, jnp.bfloat16)
+        w = jax.random.normal(_key(3), wshape, jnp.bfloat16) * 0.05
+        if not rp.supported_cat(x1, x2, w, groups):
+            continue
+        cin = x1shape[-1] + x2shape[-1]
+        cout = wshape[-1]
+        scale = jnp.ones((cin,), jnp.float32)
+        bias = jnp.zeros((cin,), jnp.float32)
+        b = jnp.zeros((cout,), jnp.float32)
+        out = jax.block_until_ready(
+            rp.gn_silu_conv3x3_cat(x1, x2, scale, bias, w, b, groups=groups)
+        )
+        want = _xla_gn_silu_conv(
+            jnp.concatenate([x1, x2], axis=-1), scale, bias, w, b, groups
+        )
+        err = float(jnp.max(jnp.abs(
+            out.astype(jnp.float32) - want.astype(jnp.float32))))
+        assert err < 0.05, ("cat", x1shape, x2shape, err)
+        ran += 1
+    assert ran >= 4, f"only {ran} cat resblock shapes exercised"
