@@ -389,6 +389,11 @@ def gn_silu_conv_cat(p_norm, p_conv, x1, x2, groups: int = 32,
                     x1, x2, p_norm["scale"], p_norm["bias"],
                     w.astype(x1.dtype), p_conv["b"], groups, eps,
                 )
+            if resblock_pallas.supported_cat_tiled(x1, x2, w, groups):
+                return _gn_silu_conv_cat_tiled_fused(
+                    x1, x2, p_norm["scale"], p_norm["bias"],
+                    w.astype(x1.dtype), p_conv["b"], groups, eps,
+                )
     return gn_silu_conv(
         p_norm, p_conv, jnp.concatenate([x1, x2], axis=-1), groups, eps
     )
@@ -481,6 +486,27 @@ def _gn_silu_conv_cat_bwd(groups, eps, res, g):
 
 
 _gn_silu_conv_cat_fused.defvjp(_gn_silu_conv_cat_fwd, _gn_silu_conv_cat_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _gn_silu_conv_cat_tiled_fused(x1, x2, scale, bias, w, b, groups, eps):
+    from audioldm2_tpu.ops import resblock_pallas
+
+    return resblock_pallas.gn_silu_conv3x3_cat_tiled(
+        x1, x2, scale, bias, w, b, groups=groups, eps=eps
+    )
+
+
+def _gn_silu_conv_cat_tiled_fwd(x1, x2, scale, bias, w, b, groups, eps):
+    return (
+        _gn_silu_conv_cat_tiled_fused(x1, x2, scale, bias, w, b, groups, eps),
+        (x1, x2, scale, bias, w, b),
+    )
+
+
+_gn_silu_conv_cat_tiled_fused.defvjp(
+    _gn_silu_conv_cat_tiled_fwd, _gn_silu_conv_cat_bwd
+)
 
 
 def group_norm_silu(p, x, groups: int = 32, eps: float = 1e-5):

@@ -369,6 +369,41 @@ def supported_tiled(x, w, groups: int) -> bool:
     return _tile_bt(T, F, cin, cout, w_bytes) > 0
 
 
+def _fold_gn_affine(parts, gn_scale, gn_bias, groups: int, eps: float):
+    """GroupNorm of the (virtual) channel-concat of ``parts`` folded into a
+    per-(batch, channel) affine (a, c) such that the normalized value is
+    x * a + c — computed by fused XLA reduces, one read per part, no
+    concat materialization (stat rows are [B, C]-tiny)."""
+    bsz = parts[0].shape[0]
+    colsum = jnp.concatenate(
+        [jnp.sum(p.astype(jnp.float32), axis=(1, 2)) for p in parts], axis=-1
+    )  # [B, cin]
+    colsq = jnp.concatenate(
+        [jnp.sum(jnp.square(p.astype(jnp.float32)), axis=(1, 2))
+         for p in parts], axis=-1
+    )
+    cin = colsum.shape[-1]
+    cg = cin // groups
+    n = float(parts[0].shape[1] * parts[0].shape[2] * cg)
+    mean_g = jnp.sum(colsum.reshape(bsz, groups, cg), axis=-1) / n  # [B, G]
+    var_g = jnp.sum(colsq.reshape(bsz, groups, cg), axis=-1) / n - mean_g**2
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean = jnp.repeat(mean_g, cg, axis=1)  # [B, cin]
+    rstd = jnp.repeat(rstd_g, cg, axis=1)
+    a = rstd * gn_scale.astype(jnp.float32)[None, :]
+    c = gn_bias.astype(jnp.float32)[None, :] - mean * a
+    return a, c
+
+
+def _halo_rows(xr, bt: int, nt: int):
+    """Per-tile halo t-rows: tile j needs rows j*bt-1 and (j+1)*bt (clamped
+    at the edges; kernels zero the clamped rows after activation)."""
+    T = xr.shape[1]
+    idx_prev = np.maximum(np.arange(nt) * bt - 1, 0)
+    idx_next = np.minimum((np.arange(nt) + 1) * bt, T - 1)
+    return jnp.take(xr, idx_prev, axis=1), jnp.take(xr, idx_next, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
 def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
                           eps: float = 1e-5, interpret: bool = False):
@@ -382,23 +417,9 @@ def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
     # GroupNorm stats folded to one per-(B, C) affine — one fused XLA
     # reduce over x in f32 (a single extra read of x; the unfused chain
     # reads it at least twice).
-    cg = cin // groups
-    x32 = x.astype(jnp.float32).reshape(bsz, T * F, groups, cg)
-    mean_g = jnp.mean(x32, axis=(1, 3))                      # [B, G]
-    var_g = jnp.mean(x32 * x32, axis=(1, 3)) - mean_g**2     # [B, G]
-    rstd_g = jax.lax.rsqrt(var_g + eps)
-    mean = jnp.repeat(mean_g, cg, axis=1)                    # [B, C]
-    rstd = jnp.repeat(rstd_g, cg, axis=1)
-    a = rstd * gn_scale.astype(jnp.float32)[None, :]
-    c = gn_bias.astype(jnp.float32)[None, :] - mean * a
+    a, c = _fold_gn_affine([x], gn_scale, gn_bias, groups, eps)
 
-    # Halo rows: tile j needs t-rows j*bt-1 and (j+1)*bt (clamped at the
-    # edges; the kernel zeroes the clamped rows after activation).
-    xr = x.reshape(bsz, T, F, cin)
-    idx_prev = np.maximum(np.arange(nt) * bt - 1, 0)
-    idx_next = np.minimum((np.arange(nt) + 1) * bt, T - 1)
-    hp = jnp.take(xr, idx_prev, axis=1)  # [B, nt, F, C]
-    hn = jnp.take(xr, idx_next, axis=1)
+    hp, hn = _halo_rows(x.reshape(bsz, T, F, cin), bt, nt)  # [B, nt, F, C]
     xc = x.reshape(bsz, nt, bt * F, cin)
 
     out = pl.pallas_call(
@@ -419,4 +440,94 @@ def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
         ),
         interpret=interpret,
     )(xc, hp, hn, a, c, w, b.astype(jnp.float32))
+    return out.reshape(bsz, T, F, cout)
+
+
+# ---------------------------------------------------------------------------
+# Concat-input + T-tiled: the decoder's widest ResBlocks (e.g. S=4096 at
+# cin=256+256) need BOTH the concat-free input split and the halo tiling.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_cat_tiled(x1_ref, x2_ref, h1p_ref, h1n_ref, h2p_ref, h2n_ref,
+                      a_ref, c_ref, w_ref, b_ref, o_ref, *, F: int, nt: int,
+                      c1: int):
+    cout = o_ref.shape[-1]
+    a = a_ref[0]  # [cin] f32, this batch's folded GN affine
+    c = c_ref[0]
+    wd = w_ref.dtype
+
+    def act(v, lo, hi):
+        y32 = v.astype(jnp.float32) * a[lo:hi] + c[lo:hi]
+        return (y32 * jax.nn.sigmoid(y32)).astype(wd)
+
+    j = pl.program_id(1)
+    cin = a.shape[-1]
+    gp = (j > 0).astype(wd)
+    gn = (j < nt - 1).astype(wd)
+    y1 = jnp.concatenate(
+        [act(h1p_ref[0, 0], 0, c1) * gp, act(x1_ref[0, 0], 0, c1),
+         act(h1n_ref[0, 0], 0, c1) * gn], axis=0)
+    y2 = jnp.concatenate(
+        [act(h2p_ref[0, 0], c1, cin) * gp, act(x2_ref[0, 0], c1, cin),
+         act(h2n_ref[0, 0], c1, cin) * gn], axis=0)
+
+    acc = _conv9(y1, lambda dt, df: w_ref[dt + 1, df + 1][:c1], cout, F)
+    acc = acc + _conv9(y2, lambda dt, df: w_ref[dt + 1, df + 1][c1:], cout, F)
+    o_ref[0, 0] = (acc[F:-F] + b_ref[...]).astype(o_ref.dtype)
+
+
+def supported_cat_tiled(x1, x2, w, groups: int) -> bool:
+    bsz, T, F, c1 = x1.shape
+    c2 = x2.shape[-1]
+    cin = c1 + c2
+    cout = w.shape[-1]
+    if x2.shape[:3] != x1.shape[:3]:
+        return False
+    if cin % groups or c1 % 128 or c2 % 128 or cout % 128:
+        return False
+    w_bytes = int(np.prod(w.shape)) * w.dtype.itemsize
+    return _tile_bt(T, F, cin, cout, w_bytes) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
+def gn_silu_conv3x3_cat_tiled(x1, x2, gn_scale, gn_bias, w, b,
+                              groups: int = 32, eps: float = 1e-5,
+                              interpret: bool = False):
+    """gn_silu_conv3x3 over the virtual concat [x1 ; x2], streamed in
+    halo-padded T tiles — for decoder shapes too wide for the one-shot cat
+    kernel. Numerically identical to the explicit concat composition."""
+    bsz, T, F, c1 = x1.shape
+    c2 = x2.shape[-1]
+    cin = c1 + c2
+    cout = w.shape[-1]
+    bt = _tile_bt(T, F, cin, cout, int(np.prod(w.shape)) * w.dtype.itemsize)
+    nt = T // bt
+
+    a, c = _fold_gn_affine([x1, x2], gn_scale, gn_bias, groups, eps)
+    h1p, h1n = _halo_rows(x1, bt, nt)
+    h2p, h2n = _halo_rows(x2, bt, nt)
+    x1c = x1.reshape(bsz, nt, bt * F, c1)
+    x2c = x2.reshape(bsz, nt, bt * F, c2)
+
+    def spec(rows, ch):
+        return pl.BlockSpec((1, 1, rows, ch), lambda i, j: (i, j, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_cat_tiled, F=F, nt=nt, c1=c1),
+        out_shape=jax.ShapeDtypeStruct((bsz, nt, bt * F, cout), x1.dtype),
+        grid=(bsz, nt),
+        in_specs=[
+            spec(bt * F, c1), spec(bt * F, c2),
+            spec(F, c1), spec(F, c1), spec(F, c2), spec(F, c2),
+            pl.BlockSpec((1, cin), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, cin), lambda i, j: (i, 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bt * F, cout), lambda i, j: (i, j, 0, 0)
+        ),
+        interpret=interpret,
+    )(x1c, x2c, h1p, h1n, h2p, h2n, a, c, w, b.astype(jnp.float32))
     return out.reshape(bsz, T, F, cout)

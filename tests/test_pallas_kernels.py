@@ -491,3 +491,28 @@ def test_conv1x1_cat_matches_concat():
     got = nn.conv1x1_cat(p, x1, x2)
     want = nn.conv2d(p, jnp.concatenate([x1, x2], axis=-1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_cat_tiled_resblock_kernel_interpret(rng, monkeypatch):
+    """Cat+tiled kernel (forced 4-tile split) == jnp composition on the
+    explicit concat, incl. halo exchange and global t-edge zeroing."""
+    from audioldm2_tpu.ops import resblock_pallas as rp
+
+    monkeypatch.setattr(rp, "_tile_bt", lambda *a, **k: 2)
+
+    B, T, F, C1, C2, Cout = 1, 8, 4, 128, 256, 128
+    x1 = jnp.asarray(rng.standard_normal((B, T, F, C1)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((B, T, F, C2)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(C1 + C2), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(C1 + C2), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C1 + C2, Cout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(Cout), jnp.float32)
+
+    out = rp.gn_silu_conv3x3_cat_tiled(x1, x2, scale, bias, w, b, groups=32,
+                                       interpret=True)
+    xcat = jnp.concatenate([x1, x2], axis=-1)
+    want = nn.conv2d(
+        {"w": w, "b": b},
+        nn.silu(nn.group_norm({"scale": scale, "bias": bias}, xcat)),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5, rtol=1e-4)

@@ -340,7 +340,11 @@ def test_cat_resblock_kernel_compiles_at_all_dispatched_shapes(shapes):
         x1 = jax.random.normal(_key(1), x1shape, jnp.bfloat16)
         x2 = jax.random.normal(_key(2), x2shape, jnp.bfloat16)
         w = jax.random.normal(_key(3), wshape, jnp.bfloat16) * 0.05
-        if not rp.supported_cat(x1, x2, w, groups):
+        if rp.supported_cat(x1, x2, w, groups):
+            fn = rp.gn_silu_conv3x3_cat
+        elif rp.supported_cat_tiled(x1, x2, w, groups):
+            fn = rp.gn_silu_conv3x3_cat_tiled
+        else:
             continue
         cin = x1shape[-1] + x2shape[-1]
         cout = wshape[-1]
@@ -348,13 +352,13 @@ def test_cat_resblock_kernel_compiles_at_all_dispatched_shapes(shapes):
         bias = jnp.zeros((cin,), jnp.float32)
         b = jnp.zeros((cout,), jnp.float32)
         out = jax.block_until_ready(
-            rp.gn_silu_conv3x3_cat(x1, x2, scale, bias, w, b, groups=groups)
+            fn(x1, x2, scale, bias, w, b, groups=groups)
         )
         want = _xla_gn_silu_conv(
             jnp.concatenate([x1, x2], axis=-1), scale, bias, w, b, groups
         )
         err = float(jnp.max(jnp.abs(
             out.astype(jnp.float32) - want.astype(jnp.float32))))
-        assert err < 0.05, ("cat", x1shape, x2shape, err)
+        assert err < 0.05, (fn.__name__, x1shape, x2shape, err)
         ran += 1
-    assert ran >= 4, f"only {ran} cat resblock shapes exercised"
+    assert ran >= 8, f"only {ran} cat resblock shapes exercised"
