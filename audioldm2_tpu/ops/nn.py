@@ -209,6 +209,11 @@ def pallas_env_override(kernel: str) -> Optional[bool]:
       AUDIOLDM2_PALLAS_<KERNEL>=0/1 -> that kernel forced off/on
       unset                         -> None (module constant / auto rules)
 
+    Kernels: attention, resblock, lnmm, groupnorm, plus the round-4
+    sub-variants gated under resblock: resblock_tiled (T-tiled streaming
+    kernels) and resblock_cat (concat-free decoder kernels) — =0 restores
+    the round-3 dispatch for A/B and emergency isolation.
+
     Read at trace time: flip the env var, then ``jax.clear_caches()`` (or
     start a fresh process) to retrace. bench.py uses this to fall back to
     the pure-XLA path if a kernel fails to compile.
@@ -358,7 +363,10 @@ def gn_silu_conv(p_norm, p_conv, x, groups: int = 32, eps: float = 1e-5):
                 x, p_norm["scale"], p_norm["bias"], w.astype(x.dtype),
                 p_conv["b"], groups, eps,
             )
-        if resblock_pallas.supported_tiled(x, w, groups):
+        if (
+            pallas_env_override("resblock_tiled") is not False
+            and resblock_pallas.supported_tiled(x, w, groups)
+        ):
             # shapes whose full working set busts the scoped-vmem limit
             # stream T in halo-padded tiles (e.g. large-1150k's ds1 ladder)
             return _gn_silu_conv_fused_tiled(
@@ -378,6 +386,7 @@ def gn_silu_conv_cat(p_norm, p_conv, x1, x2, groups: int = 32,
         w = p_conv["w"]
         if (
             _pallas_resblock_enabled()
+            and pallas_env_override("resblock_cat") is not False
             and x1.ndim == 4
             and w.shape[0] == 3
             and w.shape[1] == 3
@@ -389,7 +398,10 @@ def gn_silu_conv_cat(p_norm, p_conv, x1, x2, groups: int = 32,
                     x1, x2, p_norm["scale"], p_norm["bias"],
                     w.astype(x1.dtype), p_conv["b"], groups, eps,
                 )
-            if resblock_pallas.supported_cat_tiled(x1, x2, w, groups):
+            if (
+                pallas_env_override("resblock_tiled") is not False
+                and resblock_pallas.supported_cat_tiled(x1, x2, w, groups)
+            ):
                 return _gn_silu_conv_cat_tiled_fused(
                     x1, x2, p_norm["scale"], p_norm["bias"],
                     w.astype(x1.dtype), p_conv["b"], groups, eps,
