@@ -279,6 +279,59 @@ ACK_HTML = """
     </div>
 """
 
+# Community-share chrome (role of reference share_btn.py:1-27 — icons are
+# our own simple SVGs, not the reference artwork).
+COMMUNITY_ICON_HTML = """<svg id="share-btn-share-icon" width="1em" height="1em" viewBox="0 0 24 24" aria-hidden="true">
+  <circle cx="6" cy="12" r="3" fill="#FF9D00"/>
+  <circle cx="18" cy="5" r="3" fill="#FFD21E"/>
+  <circle cx="18" cy="19" r="3" fill="#FFD21E"/>
+  <path d="M8.6 10.6 15.4 6.6 M8.6 13.4 15.4 17.4" stroke="#FF9D00" stroke-width="2"/>
+</svg>"""
+
+LOADING_ICON_HTML = """<svg id="share-btn-loading-icon" style="display:none;" class="animate-spin" width="1em" height="1em" viewBox="0 0 24 24" aria-hidden="true">
+  <circle cx="12" cy="12" r="10" stroke="white" stroke-width="4" fill="none" opacity="0.25"/>
+  <path d="M12 2 A10 10 0 0 1 22 12" stroke="white" stroke-width="4" fill="none" opacity="0.75"/>
+</svg>"""
+
+# Our own implementation of the share flow the reference's share_btn.py
+# intends (upload the rendered waveform video to hf.co/uploads, then open a
+# pre-filled community-discussion draft): same endpoints/behavior, fresh JS.
+SHARE_JS = """async () => {
+  const root = document.querySelector('gradio-app');
+  const dom = (root && root.shadowRoot) || document;
+  const prompt = dom.querySelector('#prompt-in input, #prompt-in textarea');
+  const video = dom.querySelector('#output-video video');
+  if (!video) return;
+  const btn = dom.querySelector('#share-btn');
+  const shareIcon = dom.querySelector('#share-btn-share-icon');
+  const loadIcon = dom.querySelector('#share-btn-loading-icon');
+  if (btn) btn.style.pointerEvents = 'none';
+  if (shareIcon) shareIcon.style.display = 'none';
+  if (loadIcon) loadIcon.style.removeProperty('display');
+  try {
+    const blob = await (await fetch(video.src)).blob();
+    const file = new File([blob], `audioldm2-${Date.now() % 1000}.mp4`,
+                          {type: 'video/mp4'});
+    const up = await fetch('https://huggingface.co/uploads', {
+      method: 'POST',
+      headers: {'Content-Type': file.type,
+                'X-Requested-With': 'XMLHttpRequest'},
+      body: file,
+    });
+    const url = await up.text();
+    const text = prompt ? prompt.value : '';
+    const params = new URLSearchParams({
+      title: `Text-to-Audio: ${text}`,
+      description: `##### ${text}\\n\\n${url}`,
+    });
+    window.open('https://huggingface.co/spaces/haoheliu/audioldm2-text2audio-text2music/discussions/new?' + params.toString(), '_blank');
+  } finally {
+    if (btn) btn.style.removeProperty('pointer-events');
+    if (shareIcon) shareIcon.style.removeProperty('display');
+    if (loadIcon) loadIcon.style.display = 'none';
+  }
+}"""
+
 EXAMPLES = [
     ["A cat is meowing for attention.", 10, 3.5, 45, 3, DEFAULT_CHECKPOINT],
     ["Birds singing sweetly in a blooming garden.", 10, 3.5, 45, 3, DEFAULT_CHECKPOINT],
@@ -345,10 +398,19 @@ def build_ui():
                 btn = gr.Button("Submit")
 
             with gr.Group(elem_id="share-btn-container", visible=False):
+                gr.HTML(COMMUNITY_ICON_HTML + LOADING_ICON_HTML)
                 share_button = gr.Button(
                     "Share to community", elem_id="share-btn"
                 )
-                share_button.click(None, [], [])
+                # The reference ships a full share_js (share_btn.py:29-74)
+                # but leaves it unwired (its app.py:293 is commented out and
+                # :56-58 stubs it); we wire our own equivalent where the
+                # installed gradio accepts a js callback, else stay inert
+                # like the reference's live behavior.
+                try:
+                    share_button.click(None, [], [], js=SHARE_JS)
+                except TypeError:
+                    share_button.click(None, [], [])
 
             btn.click(
                 text2audio,

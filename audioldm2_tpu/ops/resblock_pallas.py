@@ -319,7 +319,7 @@ def gn_silu_conv3x3_cat(x1, x2, gn_scale, gn_bias, w, b, groups: int = 32,
 def _kernel_tiled(xc_ref, hp_ref, hn_ref, a_ref, c_ref, w_ref, b_ref, o_ref,
                   *, F: int, nt: int):
     cout = o_ref.shape[-1]
-    a = a_ref[0]  # [1, C] f32 (this batch's folded GN affine)
+    a = a_ref[0]  # [1, C] f32 (this batch's folded GN affine; block (1,1,C))
     c = c_ref[0]
     wd = w_ref.dtype
 
@@ -422,6 +422,11 @@ def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
     hp, hn = _halo_rows(x.reshape(bsz, T, F, cin), bt, nt)  # [B, nt, F, C]
     xc = x.reshape(bsz, nt, bt * F, cin)
 
+    # The folded affine travels as [B, 1, cin] so the block's trailing two
+    # dims are (1, cin) == the array's trailing dims — Mosaic requires the
+    # last two block dims be (8,128)-divisible OR equal to the array dims,
+    # and a [B, cin] array with block (1, cin) violates that whenever B > 1
+    # (the round-4 on-chip failure at every CFG batch > 1).
     out = pl.pallas_call(
         functools.partial(_kernel_tiled, F=F, nt=nt),
         out_shape=jax.ShapeDtypeStruct((bsz, nt, bt * F, cout), x.dtype),
@@ -430,8 +435,8 @@ def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
             pl.BlockSpec((1, 1, bt * F, cin), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, F, cin), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, F, cin), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, cin), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, cin), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, cin), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cin), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
             pl.BlockSpec((cout,), lambda i, j: (0,)),
         ],
@@ -439,7 +444,7 @@ def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
             (1, 1, bt * F, cout), lambda i, j: (i, j, 0, 0)
         ),
         interpret=interpret,
-    )(xc, hp, hn, a, c, w, b.astype(jnp.float32))
+    )(xc, hp, hn, a[:, None, :], c[:, None, :], w, b.astype(jnp.float32))
     return out.reshape(bsz, T, F, cout)
 
 
@@ -450,27 +455,29 @@ def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
 
 
 def _kernel_cat_tiled(x1_ref, x2_ref, h1p_ref, h1n_ref, h2p_ref, h2n_ref,
-                      a_ref, c_ref, w_ref, b_ref, o_ref, *, F: int, nt: int,
-                      c1: int):
+                      a1_ref, c1a_ref, a2_ref, c2a_ref, w_ref, b_ref, o_ref,
+                      *, F: int, nt: int, c1: int):
     cout = o_ref.shape[-1]
-    a = a_ref[0]  # [cin] f32, this batch's folded GN affine
-    c = c_ref[0]
+    # Per-part folded affines as separate [1, cpart] rows: slicing one
+    # [1, cin] row at a nonzero lane offset inside the kernel fails Mosaic's
+    # broadcast lowering ("Invalid input layout" on the vpad-offset vector).
+    a1, c1a = a1_ref[0], c1a_ref[0]  # [1, c1] f32
+    a2, c2a = a2_ref[0], c2a_ref[0]  # [1, c2] f32
     wd = w_ref.dtype
 
-    def act(v, lo, hi):
-        y32 = v.astype(jnp.float32) * a[lo:hi] + c[lo:hi]
+    def act(v, a, c):
+        y32 = v.astype(jnp.float32) * a + c
         return (y32 * jax.nn.sigmoid(y32)).astype(wd)
 
     j = pl.program_id(1)
-    cin = a.shape[-1]
     gp = (j > 0).astype(wd)
     gn = (j < nt - 1).astype(wd)
     y1 = jnp.concatenate(
-        [act(h1p_ref[0, 0], 0, c1) * gp, act(x1_ref[0, 0], 0, c1),
-         act(h1n_ref[0, 0], 0, c1) * gn], axis=0)
+        [act(h1p_ref[0, 0], a1, c1a) * gp, act(x1_ref[0, 0], a1, c1a),
+         act(h1n_ref[0, 0], a1, c1a) * gn], axis=0)
     y2 = jnp.concatenate(
-        [act(h2p_ref[0, 0], c1, cin) * gp, act(x2_ref[0, 0], c1, cin),
-         act(h2n_ref[0, 0], c1, cin) * gn], axis=0)
+        [act(h2p_ref[0, 0], a2, c2a) * gp, act(x2_ref[0, 0], a2, c2a),
+         act(h2n_ref[0, 0], a2, c2a) * gn], axis=0)
 
     acc = _conv9(y1, lambda dt, df: w_ref[dt + 1, df + 1][:c1], cout, F)
     acc = acc + _conv9(y2, lambda dt, df: w_ref[dt + 1, df + 1][c1:], cout, F)
@@ -520,8 +527,15 @@ def gn_silu_conv3x3_cat_tiled(x1, x2, gn_scale, gn_bias, w, b,
         in_specs=[
             spec(bt * F, c1), spec(bt * F, c2),
             spec(F, c1), spec(F, c1), spec(F, c2), spec(F, c2),
-            pl.BlockSpec((1, cin), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, cin), lambda i, j: (i, 0)),
+            # per-part [B, 1, cpart] affines: trailing block dims equal the
+            # array dims (a [B, cin] operand with block (1, cin) fails
+            # Mosaic at B > 1 — round-4 on-chip failure), and per-part
+            # splitting avoids in-kernel lane-offset slices (Mosaic
+            # "Invalid input layout" broadcast failure)
+            pl.BlockSpec((1, 1, c1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c2), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c2), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
             pl.BlockSpec((cout,), lambda i, j: (0,)),
         ],
@@ -529,5 +543,7 @@ def gn_silu_conv3x3_cat_tiled(x1, x2, gn_scale, gn_bias, w, b,
             (1, 1, bt * F, cout), lambda i, j: (i, j, 0, 0)
         ),
         interpret=interpret,
-    )(x1c, x2c, h1p, h1n, h2p, h2n, a, c, w, b.astype(jnp.float32))
+    )(x1c, x2c, h1p, h1n, h2p, h2n,
+      a[:, None, :c1], c[:, None, :c1], a[:, None, c1:], c[:, None, c1:],
+      w, b.astype(jnp.float32))
     return out.reshape(bsz, T, F, cout)

@@ -544,7 +544,16 @@ def rerank_and_select(
     # one JSON line (the reference prints these on stdout, ddpm.py:1563-1566,
     # but it has no machine-read output channel to protect).
     print("Similarity between generated audio and text:", file=sys.stderr)
-    print(" ".join("{:.2f}".format(float(s)) for s in sim), file=sys.stderr)
+    # 4 decimals, not the reference's 2 (ddpm.py:1563-1566): structural-
+    # random-weight sims cluster around ~1e-4 and a 0.00-everywhere readout
+    # is indistinguishable from a degenerate (all-equal) embedding.
+    print(" ".join("{:.4f}".format(float(s)) for s in sim), file=sys.stderr)
+    if float(np.max(sim) - np.min(sim)) == 0.0:
+        print(
+            "WARNING: all candidate similarities identical — the CLAP "
+            "embedding path is degenerate (argmax is arbitrary)",
+            file=sys.stderr,
+        )
     print("Choose the following indexes as the output:", best, file=sys.stderr)
     return wav[best]
 

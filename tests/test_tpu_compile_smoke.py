@@ -13,6 +13,14 @@ Run:  AUDIOLDM2_TEST_TPU=1 python -m pytest tests/ -m tpu -q
 (the default lane forces JAX_PLATFORMS=cpu in conftest and these tests
 self-skip).
 
+Cost control (round 5): the default lane covers the duration buckets the
+BASELINE.md scenarios dispatch (kernel_census.LATENT_T_BENCH); set
+AUDIOLDM2_TPU_SMOKE_FULL=1 for the all-duration sweep (~7x the tunnel
+compiles — hours cold). Numerics references are computed in f32 on the
+HOST CPU backend so each census shape costs ONE tunnel compile (the Pallas
+kernel), not two (the full-census lane with on-TPU references measured
+>3500 s without finishing).
+
 Discipline (VERDICT r3 #2): any diff under ops/*_pallas.py re-runs this
 lane AND the bench.py headline before the snapshot commit.
 """
@@ -48,125 +56,42 @@ if not _on_tpu():
 
 
 # ---------------------------------------------------------------------------
-# Shape collection: trace the real UNet with recording wrappers.
+# Shape collection: shared census (ops/kernel_census.py — also used by
+# bench.py's pre-flight, so the lane and the bench gate the SAME shapes).
 # ---------------------------------------------------------------------------
-
-# Distinct production UNet geometries (config.py presets):
-#   (label, context_dims, depth, film_dim, in_ch, latent_f)
-_GEOMETRIES = [
-    ("audioldm2-full", (768, 1024), 1, None, 8, 16),
-    ("large-1150k", (768, 1024, None), 2, None, 8, 16),
-    ("crossattn-t5", (1024,), 1, None, 8, 16),
-    ("speech", (768,), 1, None, 8, 16),
-    ("48k-film", (None,), 1, 512, 16, 32),
-]
-
-# CFG batches: 2 (batch=1), 6 (n_candidates=3), 8 (batch=4).
-_CFG_BATCHES = (2, 6, 8)
-
-# latent_T per geometry: 10 s defaults plus the 2.5 s-grid duration
-# buckets reachable via --duration (T5/48k families), up to 20 s.
-_LATENT_T = {16: (64, 128, 192, 256, 320, 384, 512), 32: (128, 192, 256)}
-
-
-def _collect_shapes() -> Dict[str, Set[tuple]]:
-    """Trace apply_unet at every geometry x CFG batch x duration bucket
-    with nn.{attention, gn_silu_conv, ln_linear, geglu_ff_out} wrapped to
-    record their call shapes. eval_shape => no compute, pure tracing."""
-    from audioldm2_tpu.config import UNetConfig
-    from audioldm2_tpu.models import unet
-    from audioldm2_tpu.ops import nn
-
-    rec: Dict[str, Set[tuple]] = {
-        "attention": set(), "resblock": set(), "ln": set(), "geglu": set(),
-        "resblock_cat": set(),
-    }
-
-    orig = (nn.attention, nn.gn_silu_conv, nn.ln_linear, nn.geglu_ff_out,
-            nn.gn_silu_conv_cat)
-
-    def attention(q, k, v, mask=None, bias=None, scale=None):
-        rec["attention"].add(
-            (q.shape, k.shape[1], mask is None and bias is None, str(q.dtype))
-        )
-        return orig[0](q, k, v, mask=mask, bias=bias, scale=scale)
-
-    def gn_silu_conv(p_norm, p_conv, x, groups=32, eps=1e-5):
-        w = p_conv.get("w", p_conv.get("wq"))
-        rec["resblock"].add((x.shape, w.shape, groups, str(x.dtype)))
-        return orig[1](p_norm, p_conv, x, groups=groups, eps=eps)
-
-    def ln_linear(p_norm, p_lin, x, eps=1e-5):
-        w = p_lin.get("w", p_lin.get("wq"))
-        rec["ln"].add((x.shape, w.shape, str(x.dtype)))
-        return orig[2](p_norm, p_lin, x, eps=eps)
-
-    def geglu_ff_out(p_lin, h, residual):
-        w = p_lin.get("w", p_lin.get("wq"))
-        rec["geglu"].add((h.shape, w.shape, str(h.dtype)))
-        return orig[3](p_lin, h, residual)
-
-    def gn_silu_conv_cat(p_norm, p_conv, x1, x2, groups=32, eps=1e-5):
-        w = p_conv.get("w", p_conv.get("wq"))
-        rec["resblock_cat"].add(
-            (x1.shape, x2.shape, w.shape, groups, str(x1.dtype))
-        )
-        return orig[4](p_norm, p_conv, x1, x2, groups=groups, eps=eps)
-
-    nn.attention, nn.gn_silu_conv = attention, gn_silu_conv
-    nn.ln_linear, nn.geglu_ff_out = ln_linear, geglu_ff_out
-    nn.gn_silu_conv_cat = gn_silu_conv_cat
-    try:
-        for label, ctx_dims, depth, film, in_ch, lf in _GEOMETRIES:
-            cfg = UNetConfig(
-                in_channels=in_ch, out_channels=in_ch,
-                context_dims=ctx_dims, transformer_depth=depth,
-                extra_film_condition_dim=film,
-            )
-            params = unet.init_unet(jax.random.PRNGKey(0), cfg)
-            params = unet.fuse_self_qkv(params)
-            params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, params,
-            )
-            for lt in _LATENT_T[lf]:
-                for b in _CFG_BATCHES:
-                    x = jax.ShapeDtypeStruct((b, lt, lf, in_ch), jnp.bfloat16)
-                    t = jax.ShapeDtypeStruct((b,), jnp.int32)
-                    ctxs = [
-                        None if d is None
-                        else jax.ShapeDtypeStruct((b, 64, d), jnp.bfloat16)
-                        for d in ctx_dims
-                    ]
-                    masks = [
-                        None if c is None
-                        else jax.ShapeDtypeStruct(c.shape[:2], jnp.float32)
-                        for c in ctxs
-                    ]
-                    y = (
-                        jax.ShapeDtypeStruct((b, film), jnp.bfloat16)
-                        if film else None
-                    )
-                    jax.eval_shape(
-                        lambda x, t, ctxs, masks, y: unet.apply_unet(
-                            params, cfg, x, t, ctxs, masks, y=y
-                        ),
-                        x, t, ctxs, masks, y,
-                    )
-    finally:
-        nn.attention, nn.gn_silu_conv = orig[0], orig[1]
-        nn.ln_linear, nn.geglu_ff_out = orig[2], orig[3]
-        nn.gn_silu_conv_cat = orig[4]
-    return rec
 
 
 @pytest.fixture(scope="module")
 def shapes() -> Dict[str, Set[tuple]]:
-    rec = _collect_shapes()
+    from audioldm2_tpu.ops.kernel_census import collect_shapes
+
+    rec = collect_shapes(full=os.environ.get("AUDIOLDM2_TPU_SMOKE_FULL") == "1")
     # sanity: the trace actually exercised the ladder
     assert rec["attention"] and rec["resblock"] and rec["ln"] and rec["geglu"]
     assert rec["resblock_cat"], "decoder concat path not traced"
     return rec
+
+
+def _on_host_cpu(fn, *args):
+    """Run fn on the host CPU backend in f32 — reference values without a
+    per-shape TPU tunnel compile."""
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+    args32 = jax.tree.map(
+        lambda a: jax.device_put(np.asarray(a, np.float32), cpu)
+        if hasattr(a, "dtype") and a.dtype == jnp.bfloat16
+        else jax.device_put(a, cpu),
+        list(args),
+    )
+    with jax.default_device(cpu):
+        return np.asarray(jax.jit(fn)(*args32))
+
+
+def _max_err(out, want) -> float:
+    import numpy as np
+
+    return float(np.max(np.abs(np.asarray(out, np.float32) - want)))
 
 
 def _key(seed):
@@ -194,20 +119,17 @@ def test_attention_kernel_compiles_at_all_dispatched_shapes(shapes):
         out = jax.block_until_ready(
             ap.fused_self_attention(q, k, v, float(d) ** -0.5)
         )
-        # XLA reference path, inline (forced past the dispatcher)
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * float(d) ** -0.5
-        wts = jax.nn.softmax(logits, axis=-1)
-        want = jnp.einsum(
-            "bhqk,bkhd->bqhd", wts.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        err = float(jnp.max(jnp.abs(
-            out.astype(jnp.float32) - want.astype(jnp.float32))))
-        assert err < 1e-2, (qshape, err)  # bf16 softmax-weighted sums
+
+        def ref(q, k, v):  # f32 on host CPU — no tunnel compile
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * float(d) ** -0.5
+            wts = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", wts, v)
+
+        want = _on_host_cpu(ref, q, k, v)
+        err = _max_err(out, want)
+        assert err < 1.5e-2, (qshape, err)  # bf16 softmax-weighted sums
         ran += 1
-    assert ran >= 8, f"only {ran} attention shapes exercised"
+    assert ran >= 4, f"only {ran} attention shapes exercised"
 
 
 # ---------------------------------------------------------------------------
@@ -215,22 +137,20 @@ def test_attention_kernel_compiles_at_all_dispatched_shapes(shapes):
 # ---------------------------------------------------------------------------
 
 
-def _xla_gn_silu_conv(x, scale, bias, w, b, groups):
-    """Reference composition on the same device (f32 GN stats, bf16 conv)."""
+def _ref_gn_silu_conv(x, scale, bias, w, b, groups):
+    """f32 reference composition (run on the host CPU via _on_host_cpu)."""
     B, T, F, C = x.shape
-    x32 = x.astype(jnp.float32)
-    xg = x32.reshape(B, T * F, groups, C // groups)
+    xg = x.reshape(B, T * F, groups, C // groups)
     mean = xg.mean(axis=(1, 3), keepdims=True)
     var = xg.var(axis=(1, 3), keepdims=True)
     y = ((xg - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(B, T, F, C)
     y = y * scale + bias
-    y = (y * jax.nn.sigmoid(y)).astype(x.dtype)
+    y = y * jax.nn.sigmoid(y)
     out = jax.lax.conv_general_dilated(
         y, w, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (out + b).astype(x.dtype)
+    return out + b
 
 
 def test_resblock_kernel_compiles_at_all_dispatched_shapes(shapes):
@@ -254,22 +174,24 @@ def test_resblock_kernel_compiles_at_all_dispatched_shapes(shapes):
                 out = jax.block_until_ready(
                     rp.gn_silu_conv3x3_tiled(x, scale, bias, w, b, groups=groups)
                 )
-                want = _xla_gn_silu_conv(x, scale, bias, w, b, groups)
-                err = float(jnp.max(jnp.abs(
-                    out.astype(jnp.float32) - want.astype(jnp.float32))))
-                assert err < 0.05, ("tiled", xshape, err)
+                want = _on_host_cpu(
+                    lambda *a: _ref_gn_silu_conv(*a, groups=groups),
+                    x, scale, bias, w, b)
+                err = _max_err(out, want)
+                assert err < 0.06, ("tiled", xshape, err)
                 ran_tiled += 1
             continue
         out = jax.block_until_ready(
             rp.gn_silu_conv3x3(x, scale, bias, w, b, groups=groups)
         )
         assert out.shape == xshape[:-1] + (cout,)
-        # vs the XLA path — an isfinite-only check here let a Mosaic
+        # vs the f32 reference — an isfinite-only check here let a Mosaic
         # mis-lowering (wrong values at cin=128, round 4) ship in round 3
-        want = _xla_gn_silu_conv(x, scale, bias, w, b, groups)
-        err = float(jnp.max(jnp.abs(
-            out.astype(jnp.float32) - want.astype(jnp.float32))))
-        assert err < 0.05, (xshape, err)  # bf16 matmul-order noise
+        want = _on_host_cpu(
+            lambda *a: _ref_gn_silu_conv(*a, groups=groups),
+            x, scale, bias, w, b)
+        err = _max_err(out, want)
+        assert err < 0.06, (xshape, err)  # bf16 matmul-order noise vs f32
         ran += 1
         # int8 weight-streaming variant at the same geometry
         pq = quant.quantize_conv3x3_dict({"w": w, "b": b})
@@ -354,11 +276,14 @@ def test_cat_resblock_kernel_compiles_at_all_dispatched_shapes(shapes):
         out = jax.block_until_ready(
             fn(x1, x2, scale, bias, w, b, groups=groups)
         )
-        want = _xla_gn_silu_conv(
-            jnp.concatenate([x1, x2], axis=-1), scale, bias, w, b, groups
-        )
-        err = float(jnp.max(jnp.abs(
-            out.astype(jnp.float32) - want.astype(jnp.float32))))
-        assert err < 0.05, (fn.__name__, x1shape, x2shape, err)
+        want = _on_host_cpu(
+            lambda x1, x2, *a: _ref_gn_silu_conv(
+                jnp.concatenate([x1, x2], axis=-1), *a, groups=groups),
+            x1, x2, scale, bias, w, b)
+        err = _max_err(out, want)
+        # bf16 kernel vs f32 truth measures ~0.03 at the widest (cin=640,
+        # CFG-b8) shapes; a real mis-lowering shows err ~5 at output std ~1
+        # (round-4 sweep)
+        assert err < 0.08, (fn.__name__, x1shape, x2shape, err)
         ran += 1
     assert ran >= 8, f"only {ran} cat resblock shapes exercised"
