@@ -267,9 +267,15 @@ def supported_cat(x1, x2, w, groups: int) -> bool:
     if cin % groups or c1 % 128 or c2 % 128 or cout % 128:
         return False
     s = T * F
-    # same pessimistic model as `supported` at the concat width
+    # `supported`'s model at the concat width, with a tighter limit: the
+    # two-part kernel keeps more live copies than the model counts, and
+    # Mosaic's stack allocator measured 16.41 MB actual against a 9.24 MB
+    # estimate (1.78x) at [2,1024,384|256]->256 — which overflowed the
+    # 16 MB scoped-vmem limit on chip (round-5 smoke lane). 8.5 MB keeps
+    # every estimate under the measured ratio; bigger shapes stream via
+    # the cat_tiled variant instead.
     budget = (s * cin * 4) * 2 + s * cout * 4 + int(np.prod(w.shape)) * w.dtype.itemsize
-    return budget <= 10 * 1024 * 1024
+    return budget <= int(8.5 * 1024 * 1024)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
