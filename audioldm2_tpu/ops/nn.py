@@ -644,13 +644,16 @@ def geglu_ff_out(p_lin, h, residual):
 # None = auto (TPU only, by shape): the [B, H, T, T] f32 logits XLA
 # materializes scale linearly with batch*heads, so the flash kernel wins
 # once that traffic is large. Measured on v5e (T=1024, D=32, 20-step DDIM
-# scan): CFG-batch 2 -> XLA 6.11 vs Pallas 6.51 ms/step; CFG-batch 8 ->
-# XLA 23.4 vs Pallas 17.3 ms/step (identical outputs). True/False force.
+# scan): CFG-batch 8 -> XLA 23.4 vs Pallas 17.3 ms/step; CFG-batch 2 ->
+# XLA 5.48 vs Pallas 5.39 ms/step with the v5 kernel (round-5 A/B; the
+# round-1 v1 kernel lost at b2, which the old 3*8*1024^2 threshold
+# encoded). True/False force.
 USE_PALLAS_ATTENTION = None
 
-# b*h*t*t threshold between the measured win (8*8*1024^2) and loss
-# (2*8*1024^2) points; CFG-batch >= 4 at T=1024/H=8 switches to Pallas.
-_PALLAS_ATTENTION_MIN_LOGITS = 3 * 8 * 1024 * 1024
+# b*h*t*t threshold: the T=1024 self-attention sites win at every
+# production CFG batch (>= 2*8*1024^2); the small ds4/ds8 sites
+# (b*h*t*t <= 2M) stay on XLA.
+_PALLAS_ATTENTION_MIN_LOGITS = 2 * 8 * 1024 * 1024
 
 
 def _pallas_attention_enabled(q=None) -> bool:
