@@ -13,18 +13,24 @@ _TPU_LANE = os.environ.get("AUDIOLDM2_TEST_TPU") == "1"
 if not _TPU_LANE:
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if not _TPU_LANE and "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
-    # 8 virtual devices time-sliced on a 1-core host can legitimately be
-    # >40 s apart at a collective rendezvous; the XLA:CPU default aborts
-    # the process at 40 s (rendezvous.cc termination timeout).
-    flags += (
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
-        " --xla_cpu_collective_timeout_seconds=3600"
-    )
-os.environ["XLA_FLAGS"] = flags
+if not _TPU_LANE:
+    # CPU-lane-only flags — the TPU lane must keep XLA_FLAGS EXACTLY as
+    # bench.py/production see them: the persistent compile cache keys on
+    # the flag string, and a lane-only flag delta silently voids cache
+    # sharing between the smoke lane and the bench/driver (measured: 50 s
+    # per "already compiled" kernel in bench preflight).
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        # 8 virtual devices time-sliced on a 1-core host can legitimately
+        # be >40 s apart at a collective rendezvous; the XLA:CPU default
+        # aborts the process at 40 s (rendezvous.cc termination timeout).
+        flags += (
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+            " --xla_cpu_collective_timeout_seconds=3600"
+        )
+    os.environ["XLA_FLAGS"] = flags
 
 import jax
 
