@@ -333,6 +333,75 @@ _VARIANTS: Dict[str, Callable] = {
 }
 
 
+def _code_fingerprint() -> str:
+    """Hash of every source file that changes kernel dispatch or shapes —
+    the validity domain of a recorded preflight verdict."""
+    import hashlib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    for rel in sorted((
+        "ops/attention_pallas.py", "ops/resblock_pallas.py",
+        "ops/lnmm_pallas.py", "ops/groupnorm_pallas.py", "ops/nn.py",
+        "ops/kernel_census.py", "models/unet.py", "models/vae.py",
+        "config.py",
+    )):
+        path = os.path.join(root, rel)
+        try:
+            with open(path, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"missing:" + rel.encode())
+    return h.hexdigest()[:16]
+
+
+def _verdict_cache_path() -> str:
+    base = os.environ.get(
+        "AUDIOLDM2_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "audioldm2_tpu"))
+    return os.path.join(base, "preflight_verdict.json")
+
+
+def preflight_cached(log: Optional[Callable[[str], None]] = None,
+                     ) -> Dict[str, str]:
+    """:func:`preflight`, skipped when an all-ok verdict is already on
+    disk for the EXACT current kernel/dispatch source (code fingerprint).
+    The probes exist to catch unvalidated kernel changes; unchanged code +
+    recorded all-ok = already validated on this host (the ~300 s of
+    census+probes would otherwise recur in every driver capture). Any
+    non-ok verdict is never cached."""
+    import json
+
+    log = log or (lambda s: None)
+    fp = _code_fingerprint()
+    path = _verdict_cache_path()
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        if rec.get("fingerprint") == fp and rec.get("backend") == \
+                jax.default_backend() and all(
+                    v.startswith("ok") for v in rec["verdict"].values()):
+            log(f"preflight: cached all-ok verdict for code {fp} — skipping probes")
+            return dict(rec["verdict"], _cached="true")
+    except Exception:
+        pass
+    verdict = preflight(log=log)
+    # cache only when every variant was PROBED and ok — an env-disabled
+    # variant at record time must not skip its probe in a later run
+    if verdict and all(v.startswith("ok") for v in verdict.values()):
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"fingerprint": fp,
+                           "backend": jax.default_backend(),
+                           "verdict": verdict}, f)
+                f.write("\n")
+        except OSError:
+            pass
+    return verdict
+
+
 def preflight(log: Optional[Callable[[str], None]] = None,
               shapes: Optional[Dict[str, Set[tuple]]] = None,
               ) -> Dict[str, str]:

@@ -133,9 +133,9 @@ def _preflight_kernels() -> None:
         if jax.default_backend() not in ("tpu", "axon"):
             _PREFLIGHT = {"skipped": "not on TPU"}
             return
-        from audioldm2_tpu.ops.kernel_census import preflight
+        from audioldm2_tpu.ops.kernel_census import preflight_cached
 
-        _PREFLIGHT = preflight(log=_log)
+        _PREFLIGHT = preflight_cached(log=_log)
         for k, v in _PREFLIGHT.items():
             if v.startswith("fail"):
                 _VARIANTS_KILLED.append(k)
