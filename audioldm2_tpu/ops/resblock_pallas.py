@@ -346,22 +346,34 @@ def _kernel_tiled(xc_ref, hp_ref, hn_ref, a_ref, c_ref, w_ref, b_ref, o_ref,
     o_ref[0, 0] = (acc[F:-F] + b_ref[...]).astype(o_ref.dtype)
 
 
-def _tile_bt(T: int, F: int, cin: int, cout: int, w_bytes: int) -> int:
+def _tile_bt(T: int, F: int, cin: int, cout: int, w_bytes: int,
+             w_itemsize: int = 2) -> int:
     """Largest divisor-of-T tile size whose working set fits the budget
-    (pessimistic: f32 tile + two live activation copies + f32 accumulator
-    over the halo-extended rows). 0 when even bt=1 does not fit."""
+    (f32 tile + two live activation copies in the WEIGHT dtype + f32
+    accumulator over the halo-extended rows). 0 when even bt=1 does not
+    fit.
+
+    The limit is the 16 MB scoped-vmem ceiling divided by the measured
+    Mosaic stack-allocation ratio: on-chip, actual allocations run ~1.78x
+    this liveness model (f32 VAE-encoder shape [1,512,32,128]->256:
+    20.08 MB actual at a naive 9.7 MB estimate; same ratio seen for the
+    cat kernel) — 8.5 MB keeps the worst case under the ceiling. The
+    activation-copy term must use the weight itemsize: hardcoding bf16
+    made f32 callers (the sr_inpainting VAE encode) pick oversized tiles
+    that failed Mosaic compile, silently costing the kernel set in every
+    sr capture."""
     best = 0
     for bt in range(1, T + 1):
         if T % bt:
             continue
         ext = (bt + 2) * F
         budget = (
-            ext * cin * 4          # x32 normalize intermediate
-            + 2 * ext * cin * 2    # y + one shifted copy (weight dtype)
-            + ext * cout * 4       # f32 accumulator
+            ext * cin * 4                  # x32 normalize intermediate
+            + 2 * ext * cin * w_itemsize   # y + one shifted copy
+            + ext * cout * 4               # f32 accumulator
             + w_bytes
         )
-        if budget <= 10 * 1024 * 1024:
+        if budget <= int(8.5 * 1024 * 1024):
             best = bt
     return best
 
@@ -372,7 +384,7 @@ def supported_tiled(x, w, groups: int) -> bool:
     if cin % groups or cin % 128 or cout % 128:
         return False
     w_bytes = int(np.prod(w.shape)) * w.dtype.itemsize
-    return _tile_bt(T, F, cin, cout, w_bytes) > 0
+    return _tile_bt(T, F, cin, cout, w_bytes, w.dtype.itemsize) > 0
 
 
 def _fold_gn_affine(parts, gn_scale, gn_bias, groups: int, eps: float):
@@ -417,7 +429,8 @@ def gn_silu_conv3x3_tiled(x, gn_scale, gn_bias, w, b, groups: int = 32,
     x: [B, T, F, Cin]; w: [3, 3, Cin, Cout]; returns [B, T, F, Cout]."""
     bsz, T, F, cin = x.shape
     cout = w.shape[-1]
-    bt = _tile_bt(T, F, cin, cout, int(np.prod(w.shape)) * w.dtype.itemsize)
+    bt = _tile_bt(T, F, cin, cout, int(np.prod(w.shape)) * w.dtype.itemsize,
+                  w.dtype.itemsize)
     nt = T // bt
 
     # GroupNorm stats folded to one per-(B, C) affine — one fused XLA
@@ -500,7 +513,7 @@ def supported_cat_tiled(x1, x2, w, groups: int) -> bool:
     if cin % groups or c1 % 128 or c2 % 128 or cout % 128:
         return False
     w_bytes = int(np.prod(w.shape)) * w.dtype.itemsize
-    return _tile_bt(T, F, cin, cout, w_bytes) > 0
+    return _tile_bt(T, F, cin, cout, w_bytes, w.dtype.itemsize) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
@@ -514,7 +527,8 @@ def gn_silu_conv3x3_cat_tiled(x1, x2, gn_scale, gn_bias, w, b,
     c2 = x2.shape[-1]
     cin = c1 + c2
     cout = w.shape[-1]
-    bt = _tile_bt(T, F, cin, cout, int(np.prod(w.shape)) * w.dtype.itemsize)
+    bt = _tile_bt(T, F, cin, cout, int(np.prod(w.shape)) * w.dtype.itemsize,
+                  w.dtype.itemsize)
     nt = T // bt
 
     a, c = _fold_gn_affine([x1, x2], gn_scale, gn_bias, groups, eps)
