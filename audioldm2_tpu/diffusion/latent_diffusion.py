@@ -221,10 +221,21 @@ class LatentDiffusionModel:
             self._voc_folded = None
 
     def encode_mel(self, key, mel):
-        """mel [B, T, M, 1] -> scaled latent (reference get_first_stage_encoding)."""
-        mean, logvar = vae.encode_moments(self.params["vae"], self.cfg.vae, mel)
-        z = vae.sample_posterior(key, mean, logvar)
-        return self.params["scale_factor"] * z
+        """mel [B, T, M, 1] -> scaled latent (reference get_first_stage_encoding).
+
+        One jitted program: the eager composition ran the whole VAE encoder
+        op-by-op through the device tunnel (~31 ms dispatch each, plus
+        eager per-op Mosaic kernel compiles) — the dominant share of the
+        sr_inpainting warmup."""
+        if not hasattr(self, "_encode_jit"):
+            def _encode(vae_p, scale, key, mel):
+                mean, logvar = vae.encode_moments(vae_p, self.cfg.vae, mel)
+                z = vae.sample_posterior(key, mean, logvar)
+                return scale * z
+
+            self._encode_jit = jax.jit(_encode)
+        return self._encode_jit(
+            self.params["vae"], self.params["scale_factor"], key, mel)
 
     def generate(
         self,
